@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, BinaryExpression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Cells, GeoMath}
+
+/**
+ * Cell-encode as a native Catalyst expression with whole-stage codegen —
+ * the hot-path operation of the engine (every row of the 10^12-row table
+ * passes through it once at index-build). Generated code is a static call
+ * into [[graft.core.Cells]]; no boxing, no UDF serialization.
+ *
+ * Replaces R-tree insert (/root/reference/pkg/datastructure/rtree.go:168-205).
+ */
+case class CellEncodeExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cell_encode"
+
+  override def nullSafeEval(lat: Any, lon: Any, level: Any): Any =
+    Cells.encode(lat.asInstanceOf[Double], lon.asInstanceOf[Double], level.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, lon, lvl) => s"graft.core.Cells.encode($lat, $lon, $lvl)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** cell_disk(cell, r): all cell IDs at Chebyshev distance <= r — the ring-join
+ *  generator (explode(cell_disk(...))) replacing R-tree descent. */
+case class CellDiskExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cell_disk"
+  override def nullSafeEval(cell: Any, r: Any): Any =
+    new GenericArrayData(Cells.disk(cell.asInstanceOf[Long], r.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/**
+ * Winding-number point-in-polygon (reference geometry.go:104-126) as a
+ * Catalyst expression over (lat, lon, polyLats ARRAY<DOUBLE>, polyLons
+ * ARRAY<DOUBLE>). Used as the exact refine after the cell-cover prefilter.
+ */
+case class PointInPolygonExpr(first: Expression, second: Expression,
+                              third: Expression, fourth: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "point_in_polygon"
+  override def nullSafeEval(lat: Any, lon: Any, lats: Any, lons: Any): Any =
+    GeoMath.isPointInPolygon(
+      lat.asInstanceOf[Double], lon.asInstanceOf[Double],
+      lats.asInstanceOf[ArrayData].toDoubleArray(),
+      lons.asInstanceOf[ArrayData].toDoubleArray())
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+                                                 c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** Min distance (km) from a point to a polyline — reverse-geocode refine
+ *  (reference searcher.go:437-459). */
+case class PointToPolylineKmExpr(first: Expression, second: Expression,
+                                 third: Expression, fourth: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "point_to_polyline_km"
+  override def nullSafeEval(lat: Any, lon: Any, lats: Any, lons: Any): Any =
+    GeoMath.pointToPolylineKm(
+      lat.asInstanceOf[Double], lon.asInstanceOf[Double],
+      lats.asInstanceOf[ArrayData].toDoubleArray(),
+      lons.asInstanceOf[ArrayData].toDoubleArray())
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+                                                 c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+/**
+ * Column-level geo functions. Everything expressible with built-in
+ * `org.apache.spark.sql.functions` stays built-in (full whole-stage
+ * codegen); custom expressions are used only where arrays/algorithms
+ * genuinely need them.
+ */
+object GeoFunctions {
+
+  /** Haversine distance in km as a pure built-in column expression
+   *  (reference distance.go:19-28; R=6371, hav form). Codegen-friendly. */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val a = (lit(1.0) - cos(radians(lat1 - lat2))) / 2.0 +
+      cos(radians(lat1)) * cos(radians(lat2)) * (lit(1.0) - cos(radians(lon1 - lon2))) / 2.0
+    lit(2.0 * GeoMath.EarthRadiusKm) * asin(sqrt(a))
+  }
+
+  /** Same formula as a SQL string — shared with the DuckDB oracle so both
+   *  sides evaluate the identical arithmetic. */
+  def haversineSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"(2.0 * 6371.0 * asin(sqrt( (1.0 - cos(radians(($lat1) - ($lat2))))/2.0 + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * (1.0 - cos(radians(($lon1) - ($lon2))))/2.0 )))"
+
+  def cellEncode(lat: Column, lon: Column, level: Column): Column =
+    toCol(CellEncodeExpr(toExpr(lat.cast(DoubleType)), toExpr(lon.cast(DoubleType)), toExpr(level.cast(IntegerType))))
+  def cellEncode(lat: Column, lon: Column, level: Int): Column =
+    cellEncode(lat, lon, lit(level))
+
+  def cellDisk(cell: Column, r: Column): Column =
+    toCol(CellDiskExpr(toExpr(cell.cast(LongType)), toExpr(r.cast(IntegerType))))
+
+  def pointInPolygon(lat: Column, lon: Column, polyLats: Column, polyLons: Column): Column =
+    toCol(PointInPolygonExpr(toExpr(lat.cast(DoubleType)), toExpr(lon.cast(DoubleType)), toExpr(polyLats), toExpr(polyLons)))
+
+  def pointToPolylineKm(lat: Column, lon: Column, polyLats: Column, polyLons: Column): Column =
+    toCol(PointToPolylineKmExpr(toExpr(lat.cast(DoubleType)), toExpr(lon.cast(DoubleType)), toExpr(polyLats), toExpr(polyLons)))
+
+  /** Segment-circle intersection (reference circle.go:54-96) as pure
+   *  built-in arithmetic — codegen'd, no UDF. */
+  def lineCircleIntersect(centerLat: Column, centerLon: Column, radiusKm: Column,
+                          lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val cLatR = radians(centerLat)
+    val rM = radiusKm * 1000.0
+    def pLat(latR: Column) = latR * GeoMath.EarthRadiusM
+    def pLon(lonR: Column) = lonR * GeoMath.EarthRadiusM * cos(cLatR)
+    val aLat = pLat(radians(lat1)); val aLon = pLon(radians(lon1))
+    val bLat = pLat(radians(lat2)); val bLon = pLon(radians(lon2))
+    val ccLat = pLat(cLatR); val ccLon = pLon(radians(centerLon))
+    val vLat = aLat - ccLat; val vLon = aLon - ccLon
+    val uLat = bLat - aLat; val uLon = bLon - aLon
+    val alpha = uLat * uLat + uLon * uLon
+    val beta = uLat * vLat + uLon * vLon
+    val gamma = vLat * vLat + vLon * vLon - rM * rM
+    val disc = beta * beta - alpha * gamma
+    val sq = sqrt(disc)
+    val t1 = (negate(beta) + sq) / alpha
+    val t2 = (negate(beta) - sq) / alpha
+    (disc >= 0) && ((t1 >= 0 && t1 <= 1) || (t2 >= 0 && t2 <= 1))
+  }
+
+  /** SQL twin of [[lineCircleIntersect]] for the DuckDB oracle. */
+  def lineCircleIntersectSql(centerLat: String, centerLon: String, radiusKm: String,
+                             lat1: String, lon1: String, lat2: String, lon2: String): String = {
+    val eR = GeoMath.EarthRadiusM
+    val cLatR = s"radians($centerLat)"
+    val aLat = s"(radians($lat1) * $eR)"; val aLon = s"(radians($lon1) * $eR * cos($cLatR))"
+    val bLat = s"(radians($lat2) * $eR)"; val bLon = s"(radians($lon2) * $eR * cos($cLatR))"
+    val ccLat = s"($cLatR * $eR)"; val ccLon = s"(radians($centerLon) * $eR * cos($cLatR))"
+    val vLat = s"($aLat - $ccLat)"; val vLon = s"($aLon - $ccLon)"
+    val uLat = s"($bLat - $aLat)"; val uLon = s"($bLon - $aLon)"
+    val alpha = s"($uLat*$uLat + $uLon*$uLon)"
+    val beta = s"($uLat*$vLat + $uLon*$vLon)"
+    val gamma = s"($vLat*$vLat + $vLon*$vLon - ($radiusKm*1000.0)*($radiusKm*1000.0))"
+    val disc = s"($beta*$beta - $alpha*$gamma)"
+    val t1 = s"((-$beta + sqrt($disc)) / $alpha)"
+    val t2 = s"((-$beta - sqrt($disc)) / $alpha)"
+    s"($disc >= 0 AND (($t1 >= 0 AND $t1 <= 1) OR ($t2 >= 0 AND $t2 <= 1)))"
+  }
+}

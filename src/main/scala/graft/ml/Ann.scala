@@ -1,0 +1,96 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * - `cosineTopK`: exact brute-force cosine top-k — the correctness baseline
+ *   (`zip_with` dot product + `aggregate` sum, pure Catalyst expressions,
+ *   whole-stage codegen'd; distributed top-k via orderBy.limit ->
+ *   TakeOrderedAndProject).
+ * - `lshBuckets` / `lshTopK`: random-hyperplane LSH — the scale path. The
+ *   hyperplanes are deterministic (seeded integer arithmetic, no RNG state),
+ *   signatures are `sign(dot)` bit-packs, and search touches only the
+ *   query's bucket plus hamming<=1 neighbor buckets (multiprobe).
+ * - `cosinePairs`: near-duplicate pairs by embedding cosine, LSH-bucketed
+ *   self-join.
+ */
+object Ann {
+
+  /** Dot product of an array<float|double> column with a literal query. */
+  def dotLit(vec: Column, q: Seq[Double]): Column = {
+    val qCol = array(q.map(lit): _*)
+    aggregate(zip_with(vec, qCol, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  }
+
+  def norm(vec: Column): Column =
+    sqrt(aggregate(vec, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosineLit(vec: Column, q: Seq[Double]): Column = {
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    dotLit(vec, q) / (norm(vec) * qn)
+  }
+
+  /** Exact cosine top-k against a literal query vector.
+   *  Output: (vec_id, cos6) ordered desc, quantized 1e-6. */
+  def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                 query: Seq[Double], k: Int): DataFrame =
+    embeddings.select(col(idCol).as("vec_id"),
+        cosineLit(col(vecCol).cast("array<double>"), query).as("cos"))
+      .orderBy(desc("cos"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos") * 1000000).cast("long").as("cos6"))
+
+  /** Deterministic hyperplane component h(j, d): integer-arithmetic pseudo-
+   *  random in [-1, 1), no floating RNG (reproducible across engines). */
+  def hyperplane(j: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      val v = ((j.toLong * 73856093L + d.toLong * 19349663L + 83492791L) % 2000001L)
+      (if (v < 0) v + 2000001L else v).toDouble / 1000000.0 - 1.0
+    }
+
+  /** Bit signature column: bit j = 1 iff dot(vec, h_j) > 0. */
+  def lshSignature(vec: Column, nBits: Int, dim: Int): Column =
+    (0 until nBits).map { j =>
+      val h = hyperplane(j, dim)
+      when(dotLit(vec, h.toSeq) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embeddings with an LSH bucket column. */
+  def lshBuckets(embeddings: DataFrame, idCol: String, vecCol: String,
+                 nBits: Int, dim: Int): DataFrame =
+    embeddings.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("bucket", lshSignature(col("vec"), nBits, dim))
+
+  /** Approximate top-k: probe the query's bucket and all hamming<=1
+   *  neighbors, rank exact cosine inside the probed set. */
+  def lshTopK(bucketed: DataFrame, query: Seq[Double], k: Int, nBits: Int): DataFrame = {
+    val qSig = (0 until nBits).map { j =>
+      val h = hyperplane(j, query.length)
+      val dot = query.zip(h).map { case (a, b) => a * b }.sum
+      if (dot > 0) 1L << j else 0L
+    }.sum
+    val probes = qSig +: (0 until nBits).map(j => qSig ^ (1L << j))
+    bucketed.filter(col("bucket").isin(probes.map(java.lang.Long.valueOf): _*))
+      .select(col("vec_id"), cosineLit(col("vec"), query).as("cos"))
+      .orderBy(desc("cos"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos") * 1000000).cast("long").as("cos6"))
+  }
+
+  /** Near-duplicate pairs by cosine >= threshold, LSH-bucketed self-join
+   *  (exact within a bucket; recall governed by nBits). */
+  def cosinePairs(bucketed: DataFrame, threshold: Double): DataFrame = {
+    val a = bucketed.select(col("vec_id").as("id1"), col("vec").as("v1"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("id2"), col("vec").as("v2"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
+      .withColumn("dot", aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("cos", col("dot") / (norm(col("v1")) * norm(col("v2"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos") * 1000000).cast("long").as("cos6"))
+      .distinct()
+  }
+}

@@ -1,0 +1,145 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication for large-scale training-data pipelines:
+ * exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+ *
+ * Scale notes:
+ *  - exact: one shuffle on the text hash; map-side partial agg compacts.
+ *  - n-gram Jaccard is the *exact* oracle-checkable path; its shingle
+ *    self-join explodes on hot shingles, so at scale it runs behind the
+ *    MinHash LSH prefilter (candidates only) — `jaccardPairs(prefiltered)`.
+ *  - MinHash: signatures are a single groupBy(doc).agg(16 x min) — one
+ *    shuffle; banding turns the quadratic pair search into an equi-join on
+ *    (band_idx, band_key).
+ *  - SimHash: 64-bit signature via bit-contribution explode + groupBy;
+ *    near-dup banding over 4 x 16-bit sub-keys (any equal sub-key =>
+ *    hamming-distance candidate; exact for hamming <= 3 by pigeonhole over
+ *    4 bands).
+ */
+object Dedup {
+
+  /** Exact dedup: one row per distinct text with the kept (min) id and the
+   *  duplicate count. Deterministic keep rule (min id) — the reference's
+   *  arrival-order dedup (indexer.go:582-618) is order-sensitive; see
+   *  SURVEY.md P4 for the documented divergence. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(textCol).as("text"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
+
+  /** (doc_id, shingle) exploded pairs. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("shingle"))
+
+  /** Character n-gram shingle array (distinct), lowercase. Empty when the
+   *  text is shorter than n. */
+  def shingles(c: Column, n: Int): Column = {
+    val t = lower(c)
+    when(length(t) >= n,
+      array_distinct(transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs with similarity >= `threshold`.
+   *  Output: (id1, id2, sim4) with id1 < id2, sim quantized 1e-4. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = sh.toDF("id1", "shingle")
+      .join(sh.toDF("id2", "shingle"), Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    common
+      .join(sizes.toDF("id1", "sz1"), Seq("id1"))
+      .join(sizes.toDF("id2", "sz2"), Seq("id2"))
+      .withColumn("sim", col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"),
+        round(col("sim") * 10000).cast("long").as("sim4"))
+  }
+
+  /** MinHash parameters shared with the DuckDB oracle SQL — keep in sync. */
+  object MinHash {
+    val P = 1000000007L
+    val NumHashes = 16
+    val BandSize = 4
+    /** deterministic (a, b) per hash, derived from small primes */
+    val A: Seq[Long] = (0 until NumHashes).map(i => (2L * i + 1) * 104729L % P)
+    val B: Seq[Long] = (0 until NumHashes).map(i => (i + 1) * 7919L % P)
+
+    /** 3-char shingle -> int code, identical in Spark and DuckDB:
+     *  ascii(c1)*65536 + ascii(c2)*256 + ascii(c3). */
+    def codeCol(sh: Column): Column =
+      ascii(substring(sh, 1, 1)) * 65536 + ascii(substring(sh, 2, 1)) * 256 +
+        ascii(substring(sh, 3, 1))
+    def codeSql(sh: String): String =
+      s"(ascii(substr($sh,1,1))*65536 + ascii(substr($sh,2,1))*256 + ascii(substr($sh,3,1)))"
+  }
+
+  /** MinHash signatures: (doc_id, h0..h15) — one shuffle. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import MinHash._
+    val sh = shingleTable(docs, idCol, textCol, 3)
+      .withColumn("code", codeCol(col("shingle")).cast("long"))
+    val aggs = (0 until NumHashes).map(i =>
+      min((col("code") * A(i) + B(i)) % P).as(s"h$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any of the 4 bands of 4 hashes. */
+  def minhashCandidates(signatures: DataFrame): DataFrame = {
+    import MinHash._
+    val nBands = NumHashes / BandSize
+    val bands = (0 until nBands).map { b =>
+      val key = concat_ws(",",
+        (0 until BandSize).map(j => col(s"h${b * BandSize + j}").cast("string")): _*)
+      signatures.select(col("doc_id"), lit(b).as("band"), key.as("band_key"))
+    }.reduce(_ unionByName _)
+    bands.toDF("id1", "band", "band_key")
+      .join(bands.toDF("id2", "band", "band_key"), Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** SimHash 64-bit signature per doc over its token multiset. Token hash =
+   *  xxhash64 (Spark built-in); bit b contributes +tf/-tf by hash bit. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+        explode(graft.sources.Derived.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("th", xxhash64(col("term")))
+    val bits = terms.select(col("doc_id"),
+      explode(expr("transform(sequence(0, 63), b -> struct(b as b, " +
+        "CASE WHEN (shiftright(th, b) & 1) = 1 THEN tf ELSE -tf END as contrib))")).as("x"))
+      .select(col("doc_id"), col("x.b").as("b"), col("x.contrib").as("contrib"))
+    bits.groupBy("doc_id", "b").agg(sum("contrib").as("s"))
+      .withColumn("bit", when(col("s") > 0, lit(1L)).otherwise(lit(0L)))
+      .withColumn("v", expr("shiftleft(bit, CAST(b AS INT))"))
+      .groupBy("doc_id").agg(sum(col("v")).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: any equal 16-bit band (pigeonhole-exact
+   *  for hamming distance <= 3); refined by exact hamming via bit_count. */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = (0 until 4).map(b =>
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("band_key"),
+        col("simhash")))
+      .reduce(_ unionByName _)
+    bands.toDF("id1", "band", "band_key", "sh1")
+      .join(bands.toDF("id2", "band", "band_key", "sh2"), Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions
+import graft.core.Cells
+
+/**
+ * Deterministic derivations from the driver-generated parquet tables
+ * (TESTDATA.md). Every derivation here is pure integer/double arithmetic so
+ * the DuckDB oracle can compute the *identical* values via the SQL twins —
+ * the Spark expression and SQL string are kept side by side and must stay in
+ * lock-step.
+ *
+ * The spatial "objects" table plays the role of the reference's OSM object
+ * set (/root/reference/pkg/datastructure/rtree.go:598-606): id, lat, lon,
+ * and a feature tag. Positions land in a bounded region over Java island,
+ * Indonesia, matching the reference's test coordinate ranges
+ * (rtree_test.go:222-257).
+ */
+object Derived {
+
+  /** Quantize a double to 1e-4 as int64 — the hash-stable way both engines
+   *  agree on floating-point outputs. */
+  def q4(c: Column): Column = round(c * 10000).cast("long")
+  def q4Sql(e: String): String = s"CAST(round(($e) * 10000) AS BIGINT)"
+
+  /** Quantize to 1e-6 (for log-probs / scores needing more precision kept). */
+  def q6(c: Column): Column = round(c * 1000000).cast("long")
+  def q6Sql(e: String): String = s"CAST(round(($e) * 1000000) AS BIGINT)"
+
+  // ---- spatial objects from orders ----------------------------------------
+
+  val LatBase = -8.5; val LatSpan = 3.0
+  val LonBase = 106.0; val LonSpan = 5.0
+
+  def latExpr(key: Column): Column =
+    lit(LatBase) + lit(LatSpan) * ((key * 9973L + 12345L) % 100000L).cast("double") / 100000.0
+  def lonExpr(key: Column): Column =
+    lit(LonBase) + lit(LonSpan) * ((key * 7919L + 54321L) % 100000L).cast("double") / 100000.0
+
+  def latSql(key: String): String =
+    s"($LatBase + $LatSpan * ((($key) * 9973 + 12345) % 100000) / 100000.0)"
+  def lonSql(key: String): String =
+    s"($LonBase + $LonSpan * ((($key) * 7919 + 54321) % 100000) / 100000.0)"
+
+  /** Spark side: objects (id, lat, lon, feature, cell) derived from orders. */
+  def objects(spark: SparkSession, sfDir: String, level: Int = Cells.DefaultLevel): DataFrame =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(
+        col("o_orderkey").as("id"),
+        latExpr(col("o_orderkey")).as("lat"),
+        lonExpr(col("o_orderkey")).as("lon"),
+        concat(lit("f"), (col("o_orderkey") % 7).cast("string")).as("feature"))
+      .withColumn("cell", GeoFunctions.cellEncode(col("lat"), col("lon"), level))
+
+  /** DuckDB twin of [[objects]] (no cell column — the oracle never needs it;
+   *  tile assignment is verified through the grid-index query instead). */
+  val objectsSqlCte: String =
+    s"""objects AS (
+       |  SELECT o_orderkey AS id,
+       |         ${latSql("o_orderkey")} AS lat,
+       |         ${lonSql("o_orderkey")} AS lon,
+       |         'f' || CAST(o_orderkey % 7 AS VARCHAR) AS feature
+       |  FROM orders
+       |)""".stripMargin
+
+  // ---- trajectory points from events (for geofencing) ---------------------
+
+  /** Per-user trajectory: event stream with a deterministic position per
+   *  event. user_id is the query-point id (reference fence_index.go:50-85). */
+  def track(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        latExpr(col("event_id") * 7L + col("user_id")).as("lat"),
+        lonExpr(col("event_id") * 7L + col("user_id")).as("lon"))
+
+  val trackSqlCte: String =
+    s"""track AS (
+       |  SELECT event_id, user_id, ts,
+       |         ${latSql("event_id * 7 + user_id")} AS lat,
+       |         ${lonSql("event_id * 7 + user_id")} AS lon
+       |  FROM events
+       |)""".stripMargin
+
+  // ---- text tokenization ---------------------------------------------------
+
+  /** Pinned tokenizer spec (SURVEY.md F1): lowercase, strip non-[a-z0-9] to
+   *  spaces, split on whitespace, drop empties. Used identically on index
+   *  and query paths. */
+  def tokens(c: Column): Column =
+    filter(split(regexp_replace(lower(c), "[^a-z0-9]+", " "), " "), t => t =!= "")
+
+  def tokensSql(e: String): String =
+    s"list_filter(string_split(regexp_replace(lower($e), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
+
+  /** Exploded (doc_id, pos, term) over documents.text — DuckDB twin below. */
+  def docTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+  }
+
+  val docTermsSqlCte: String =
+    s"""doc_terms AS (
+       |  SELECT doc_id,
+       |         unnest(range(len(${tokensSql("text")}))) AS pos,
+       |         unnest(${tokensSql("text")}) AS term
+       |  FROM documents
+       |)""".stripMargin
+}
