@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.entry.{MlQueries, SpatialQueries, TextQueries}
+import graft.images.Images
+import graft.query.Spatial
+
+/**
+ * Driver contract — one `queries` entry per implemented operator from
+ * SURVEY.md §2 (operator IDs in the names), with a DuckDB oracle twin in
+ * `oracleSql` for every deterministic op. Binary/approximate ops (SimHash,
+ * LSH ANN, image decode/PSNR, image tiles) are rows-only here and
+ * property-tested in ScalaTest.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /**
+   * Flagship: the north-rule pipeline in miniature on sf0.001 — synthesize
+   * the image+caption table (input_hint schema), derive positions from
+   * phash, cell-encode (tile assignment), then batch-kNN join a query set
+   * against it and hydrate captions.
+   */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val imgs = Images.withGeo(Images.imageTable(spark, dir))
+      // bytes never travel through the join (SURVEY.md §7.4)
+      .select(col("image_id"), col("caption"), col("lat"), col("lon"), col("cell"))
+      .withColumn("id", xxhash64(col("image_id")))
+    val queries = imgs.limit(8)
+      .select(col("id").as("qid"), (col("lat") + 0.01).as("qlat"),
+        (col("lon") - 0.01).as("qlon"))
+    Spatial.knnJoin(imgs, queries, k = 5)
+      .join(imgs.select(col("id"), col("image_id"), col("caption")), Seq("id"))
+      .select(col("qid"), col("image_id"), col("caption"), col("dist_km"), col("rn"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    SpatialQueries.queries ++ TextQueries.queries ++ MlQueries.queries
+
+  def oracleSql: Map[String, String] =
+    SpatialQueries.oracles ++ TextQueries.oracles ++ MlQueries.oracles
 }

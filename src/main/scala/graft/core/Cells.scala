@@ -192,13 +192,23 @@ object Cells {
     val bbox = coverBBox(polyLat.min, polyLon.min, polyLat.max, polyLon.max, level)
     bbox.filter { cell =>
       val (latMin, lonMin, latMax, lonMax) = bounds(cell)
+      @inline def rectsOverlap(aLatMin: Double, aLonMin: Double,
+                               aLatMax: Double, aLonMax: Double): Boolean =
+        aLatMin <= latMax && aLatMax >= latMin && aLonMin <= lonMax && aLonMax >= lonMin
       val centerInside = GeoMath.isPointInPolygon((latMin + latMax) / 2, (lonMin + lonMax) / 2, polyLat, polyLon)
       centerInside ||
         polyLat.indices.exists(i => polyLat(i) >= latMin && polyLat(i) <= latMax &&
           polyLon(i) >= lonMin && polyLon(i) <= lonMax) ||
         (0 until polyLat.length - 1).exists(i =>
           segmentIntersectsRect(polyLat(i), polyLon(i), polyLat(i + 1), polyLon(i + 1),
-            latMin, lonMin, latMax, lonMax))
+            latMin, lonMin, latMax, lonMax)) ||
+        // GeoMath.isPointInPolygon faithfully reproduces the reference's
+        // edge-BBOX "on segment" short-circuit (geometry.go:94-102), which
+        // accepts points outside the exact polygon; the prefilter must stay
+        // a superset of that, so also keep cells overlapping any edge bbox.
+        (0 until polyLat.length - 1).exists(i => rectsOverlap(
+          math.min(polyLat(i), polyLat(i + 1)), math.min(polyLon(i), polyLon(i + 1)),
+          math.max(polyLat(i), polyLat(i + 1)), math.max(polyLon(i), polyLon(i + 1))))
     }
   }
 

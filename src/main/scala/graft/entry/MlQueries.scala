@@ -1,0 +1,178 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Ann, Dedup, TextStats}
+import graft.sources.Derived
+import graft.images.Images
+
+/**
+ * Training-data pipeline queries (dedup / similarity search / text
+ * analysis / multimodal) over documents + embeddings, with DuckDB oracle
+ * twins for every deterministic op. Approximate/binary ops (SimHash over
+ * xxhash64, LSH ANN probing, image decode) are rows-only checked here and
+ * property-tested in ScalaTest.
+ */
+object MlQueries {
+
+  val JaccardMaxId = 200L
+  val JaccardThreshold = 0.7
+  val MinhashMaxId = 200L
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D1: exact dedup (hash groupBy), deterministic keep rule
+    "d1_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text").orderBy(col("keep_id"))),
+
+    // D2: n-gram (3-char shingle) Jaccard near-dup pairs — exact path
+    "d2_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir).filter(col("doc_id") < JaccardMaxId),
+          "doc_id", "text", 3, JaccardThreshold)
+        .orderBy(col("id1"), col("id2"))),
+
+    // D3: MinHash+LSH candidate pairs (16 hashes, 4 bands x 4)
+    "d3_minhash" -> ((s, dir) =>
+      Dedup.minhashCandidates(
+        Dedup.minhashSignatures(docs(s, dir).filter(col("doc_id") < MinhashMaxId),
+          "doc_id", "text"))
+        .orderBy(col("id1"), col("id2"))),
+
+    // D4: SimHash signatures + near-dup pairs (rows-only: xxhash64 basis)
+    "d4_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+
+    // E1: exact brute-force cosine top-k vs the vec_id=1 embedding
+    "e1_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 1)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      e.select(col("vec_id"),
+          Derived.q4(Ann.cosineLit(col("embedding").cast("array<double>"), q)).as("cos4"))
+        .orderBy(desc("cos4"), col("vec_id")).limit(10)
+    }),
+
+    // E2: LSH-bucketed approximate top-k (rows-only; recall asserted in spec)
+    "e2_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val q = e.filter(col("vec_id") === 1)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      Ann.lshTopK(Ann.lshBuckets(e, "vec_id", "embedding", 12, dim), q, 10, 12)
+        .select(col("vec_id"), col("cos6"))
+    }),
+
+    // X1: language ID heuristic
+    "x1_langid" -> ((s, dir) =>
+      TextStats.langId(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+
+    // X2: quality scoring
+    "x2_quality" -> ((s, dir) =>
+      TextStats.quality(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+
+    // X3: token counting (whitespace + BPE-ish regex)
+    "x3_token_counts" -> ((s, dir) =>
+      TextStats.tokenCounts(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+
+    // X4: document fingerprint (position-weighted checksum)
+    "x4_fingerprint" -> ((s, dir) =>
+      TextStats.fingerprint(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+
+    // F17: image decode + PSNR per-row invariant (input_hint) — rows-only
+    "f17_image_verify" -> ((s, dir) => {
+      val imgs = Images.imageTable(s, dir)
+      Images.decodeVerify(imgs, docs(s, dir)).orderBy(col("image_id"))
+    }),
+
+    // G2: image table tile assignment from phash-derived coordinates
+    "g2_image_tiles" -> ((s, dir) =>
+      Images.withGeo(Images.imageTable(s, dir))
+        .select(col("image_id"), col("cell")).orderBy(col("image_id")))
+  )
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  private val T = Derived.tokensSql _
+
+  private def shingleCte(maxId: Long): String =
+    s"""d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < $maxId),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, len(t) - 1), i -> substr(t, CAST(i AS INTEGER), 3))) AS s
+       |  FROM d WHERE len(t) >= 3)""".stripMargin
+
+  private def minhashSql: String = {
+    import Dedup.MinHash._
+    val code = codeSql("s")
+    val hs = (0 until NumHashes).map(i =>
+      s"MIN((CAST($code AS BIGINT) * ${A(i)} + ${B(i)}) % $P) AS h$i").mkString(",\n    ")
+    val nBands = NumHashes / BandSize
+    val bandSelects = (0 until nBands).map { b =>
+      val key = (0 until BandSize).map(j => s"CAST(h${b * BandSize + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${shingleCte(MinhashMaxId)},
+       |sig AS (SELECT doc_id,
+       |    $hs
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects)
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "d2_jaccard" ->
+      s"""WITH ${shingleCte(JaccardMaxId)},
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id1, id2,
+         |  ${Derived.q4Sql("c * 1.0 / (s1.sz + s2.sz - c)")} AS sim4
+         |FROM inter JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+         |WHERE c * 1.0 / (s1.sz + s2.sz - c) >= $JaccardThreshold
+         |ORDER BY id1, id2""".stripMargin,
+
+    "d3_minhash" -> minhashSql,
+
+    "e1_cosine_topk" ->
+      s"""WITH qv AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+         |    unnest(range(len(embedding))) AS pos
+         |  FROM embeddings WHERE vec_id = 1),
+         |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |    unnest(range(len(embedding))) AS pos
+         |  FROM embeddings),
+         |d AS (SELECT e.vec_id, SUM(e.v * q.v) AS dot,
+         |    SUM(e.v * e.v) AS n2, SUM(q.v * q.v) AS qn2
+         |  FROM ev e JOIN qv q ON e.pos = q.pos GROUP BY e.vec_id)
+         |SELECT vec_id, ${Derived.q4Sql("dot / (sqrt(n2) * sqrt(qn2))")} AS cos4
+         |FROM d ORDER BY cos4 DESC, vec_id LIMIT 10""".stripMargin,
+
+    "x1_langid" ->
+      s"""SELECT doc_id, ${TextStats.langIdSqlCase("text")} AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x2_quality" ->
+      s"""SELECT doc_id, ${TextStats.qualitySqlSelect("text").mkString(", ")}
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x3_token_counts" ->
+      s"""SELECT doc_id, ${TextStats.tokenCountsSqlSelect("text").mkString(", ")}
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x4_fingerprint" ->
+      s"""SELECT doc_id, ${TextStats.fingerprintSql("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

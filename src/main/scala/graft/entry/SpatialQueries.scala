@@ -1,0 +1,263 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Cells
+import graft.functions.GeoFunctions
+import graft.query.{Geofence, Spatial}
+import graft.sources.Derived
+import graft.sources.Derived.{q4, q4Sql}
+
+/**
+ * Spatial operator queries over the derived `objects` table, each with a
+ * DuckDB oracle twin (identical arithmetic; quantized outputs). Operator
+ * IDs follow SURVEY.md §2.
+ */
+object SpatialQueries {
+  // fixed query point inside the derived region
+  val QLat = -7.25; val QLon = 108.5
+  val hav = GeoFunctions.haversineSql _
+
+  private def objects(s: SparkSession, dir: String) = Derived.objects(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T2: exact kNN via ring expansion (rtree.go:685-723 equivalent)
+    "t2_knn" -> ((s, dir) =>
+      Spatial.knn(objects(s, dir), QLat, QLon, k = 10)
+        .select(col("id"), q4(col("dist_km")).as("dist4"))),
+
+    // T3: radius + feature filter kNN with offset (rtree.go:656-682)
+    "t3_knn_radius_feature" -> ((s, dir) =>
+      Spatial.knn(objects(s, dir), QLat, QLon, k = 20,
+        radiusKm = Some(60.0), feature = Some("f3"), offset = 5)
+        .select(col("id"), q4(col("dist_km")).as("dist4"))),
+
+    // S4-range: bbox search (rtree.go:505-531)
+    "s4_range_search" -> ((s, dir) =>
+      Spatial.rangeSearch(objects(s, dir), -7.8, 107.2, -6.9, 108.8)
+        .select(col("id")).orderBy(col("id"))),
+
+    // J2: nearest-neighbour enrichment join (indexer.go:986-1026)
+    "j2_nearest_join" -> ((s, dir) => {
+      val o = objects(s, dir)
+      val left = o.filter(col("id") % 11 === 0 && col("id") % 5 =!= 0)
+      val right = o.filter(col("id") % 5 === 0)
+      Spatial.nearestJoin(left, right, maxKm = 30.0)
+        .select(col("lid"), col("rid"), q4(col("dist_km")).as("dist4"))
+        .orderBy(col("lid"))
+    }),
+
+    // J3: PIP join — broadcast cell-prefilter + exact winding refine
+    // (indexer.go:1035-1061); rectangle + diamond polygons so the oracle
+    // can express containment in pure arithmetic
+    "j3_pip_join" -> ((s, dir) =>
+      Spatial.pipJoin(objects(s, dir), Polygons.all)
+        .select(col("id"), col("poly_id")).orderBy(col("id"), col("poly_id"))),
+
+    // F2: haversine as a direct scalar check (distance.go:19-28)
+    "f2_haversine" -> ((s, dir) =>
+      objects(s, dir).filter(col("id") % 13 === 0)
+        .select(col("id"),
+          q4(GeoFunctions.haversineKm(lit(QLat), lit(QLon), col("lat"), col("lon"))).as("dist4"))
+        .orderBy(col("id"))),
+
+    // G1: tile assignment — the north-rule core; emits the cell's (x, y)
+    // grid coordinates so the oracle can recompute them arithmetically
+    "g1_tile_assign" -> ((s, dir) => {
+      val level = Cells.DefaultLevel
+      val xUdf = udf((c: Long) => Cells.x(c))
+      val yUdf = udf((c: Long) => Cells.y(c))
+      objects(s, dir).filter(col("id") % 7 === 0)
+        .select(col("id"), xUdf(col("cell")).as("tx"), yUdf(col("cell")).as("ty"))
+        .orderBy(col("id"))
+    }),
+
+    // T1-reverse: batch reverse geocode = 1-NN join (searcher.go:402-435)
+    "t1_reverse_geocode" -> ((s, dir) => {
+      val o = objects(s, dir)
+      val queries = o.filter(col("id") % 731 === 0)
+        .select(col("id").as("qid"), (col("lat") + 0.001).as("qlat"),
+          (col("lon") - 0.0015).as("qlon"))
+      Spatial.knnJoin(o, queries, k = 1)
+        .select(col("qid"), col("id"), q4(col("dist_km")).as("dist4"))
+        .orderBy(col("qid"))
+    }),
+
+    // ST2: geofence status transitions (geofence.go:97-116)
+    "st2_geofence" -> ((s, dir) =>
+      Geofence.fenceStatus(Derived.track(s, dir), Fences.all)
+        .select(col("event_id"), col("fence_key"), col("seq"), col("status"))
+        .orderBy(col("event_id"), col("fence_key"), col("seq"))),
+
+    // J1: member-resolution equi join + aggregate (indexer.go:132-142 shape)
+    "j1_member_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"), q4(sum(col("l_quantity"))).as("sum_qty4"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // classic pushdown-friendly aggregation (driver smoke example)
+    "q1_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(q4(sum(col("l_quantity"))).as("sum_qty4"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")))
+  )
+
+  object Polygons {
+    import Spatial.Polygon
+    // axis-aligned rectangle (closed ring)
+    val rect = Polygon(1, "rect",
+      Array(-7.9, -7.9, -7.1, -7.1, -7.9), Array(106.4, 107.6, 107.6, 106.4, 106.4))
+    // diamond: |lat+6.6|/0.5 + |lon-109.4|/0.9 <= 1
+    val dLat = -6.6; val dLon = 109.4; val dA = 0.5; val dB = 0.9
+    val diamond = Polygon(2, "diamond",
+      Array(dLat - dA, dLat, dLat + dA, dLat, dLat - dA),
+      Array(dLon, dLon + dB, dLon, dLon - dB, dLon))
+    val all = Seq(rect, diamond)
+    val rectSql =
+      "(lat >= -7.9 AND lat <= -7.1 AND lon >= 106.4 AND lon <= 107.6)"
+    // The reference's winding-number PIP short-circuits to "inside" for any
+    // point within the BOUNDING BOX of any polygon edge (geometry.go:94-102
+    // checks only the bbox, with no collinearity test) — reproduced
+    // faithfully by GeoMath.isPointInPolygon. For this diamond the union of
+    // the 4 edge bboxes tiles the full bbox, so reference-PIP(diamond) ==
+    // bbox containment; the oracle encodes exactly that.
+    val diamondSql =
+      s"(lat >= ${dLat - dA} AND lat <= ${dLat + dA} AND lon >= ${dLon - dB} AND lon <= ${dLon + dB})"
+  }
+
+  object Fences {
+    import Geofence.Fence
+    val all = Seq(
+      Fence("alpha", -7.3, 108.2, 45.0),
+      Fence("beta", -6.9, 109.9, 60.0),
+      Fence("gamma", -7.9, 106.7, 50.0))
+    def sqlCte: String = "fences AS (" + all.map(f =>
+      s"SELECT '${f.key}' AS fence_key, ${f.lat} AS flat, ${f.lon} AS flon, ${f.radiusKm} AS fradius")
+      .mkString(" UNION ALL ") + ")"
+  }
+
+  private val distQ = hav(QLat.toString, QLon.toString, "lat", "lon")
+
+  val oracles: Map[String, String] = Map(
+    "t2_knn" ->
+      s"""WITH ${Derived.objectsSqlCte}
+         |SELECT id, ${q4Sql(distQ)} AS dist4 FROM objects
+         |ORDER BY $distQ, id LIMIT 10""".stripMargin,
+
+    "t3_knn_radius_feature" ->
+      s"""WITH ${Derived.objectsSqlCte}
+         |SELECT id, ${q4Sql(distQ)} AS dist4 FROM objects
+         |WHERE $distQ <= 60.0 AND feature = 'f3'
+         |ORDER BY $distQ, id LIMIT 20 OFFSET 5""".stripMargin,
+
+    "s4_range_search" ->
+      s"""WITH ${Derived.objectsSqlCte}
+         |SELECT id FROM objects
+         |WHERE lat >= -7.8 AND lat <= -6.9 AND lon >= 107.2 AND lon <= 108.8
+         |ORDER BY id""".stripMargin,
+
+    "j2_nearest_join" ->
+      s"""WITH ${Derived.objectsSqlCte},
+         |l AS (SELECT * FROM objects WHERE id % 11 = 0 AND id % 5 <> 0),
+         |r AS (SELECT * FROM objects WHERE id % 5 = 0),
+         |pairs AS (
+         |  SELECT l.id AS lid, r.id AS rid,
+         |         ${hav("l.lat", "l.lon", "r.lat", "r.lon")} AS d
+         |  FROM l CROSS JOIN r
+         |  WHERE ${hav("l.lat", "l.lon", "r.lat", "r.lon")} <= 30.0),
+         |ranked AS (
+         |  SELECT lid, rid, d,
+         |         row_number() OVER (PARTITION BY lid ORDER BY d, rid) AS rn
+         |  FROM pairs)
+         |SELECT lid, rid, ${q4Sql("d")} AS dist4 FROM ranked WHERE rn = 1
+         |ORDER BY lid""".stripMargin,
+
+    "j3_pip_join" ->
+      s"""WITH ${Derived.objectsSqlCte}
+         |SELECT id, poly_id FROM (
+         |  SELECT id, CAST(1 AS BIGINT) AS poly_id FROM objects WHERE ${Polygons.rectSql}
+         |  UNION ALL
+         |  SELECT id, CAST(2 AS BIGINT) AS poly_id FROM objects WHERE ${Polygons.diamondSql}
+         |) ORDER BY id, poly_id""".stripMargin,
+
+    "f2_haversine" ->
+      s"""WITH ${Derived.objectsSqlCte}
+         |SELECT id, ${q4Sql(distQ)} AS dist4 FROM objects
+         |WHERE id % 13 = 0 ORDER BY id""".stripMargin,
+
+    "g1_tile_assign" -> {
+      val n = 1L << Cells.DefaultLevel
+      s"""WITH ${Derived.objectsSqlCte}
+         |SELECT id,
+         |  CAST(least(greatest(floor((lon + 180.0) / 360.0 * $n), 0), ${n - 1}) AS BIGINT) AS tx,
+         |  CAST(least(greatest(floor((lat + 90.0) / 180.0 * $n), 0), ${n - 1}) AS BIGINT) AS ty
+         |FROM objects WHERE id % 7 = 0 ORDER BY id""".stripMargin
+    },
+
+    "t1_reverse_geocode" ->
+      s"""WITH ${Derived.objectsSqlCte},
+         |q AS (SELECT id AS qid, lat + 0.001 AS qlat, lon - 0.0015 AS qlon
+         |      FROM objects WHERE id % 731 = 0),
+         |pairs AS (
+         |  SELECT q.qid, o.id, ${hav("q.qlat", "q.qlon", "o.lat", "o.lon")} AS d,
+         |         row_number() OVER (PARTITION BY q.qid
+         |           ORDER BY ${hav("q.qlat", "q.qlon", "o.lat", "o.lon")}, o.id) AS rn
+         |  FROM q CROSS JOIN objects o)
+         |SELECT qid, id, ${q4Sql("d")} AS dist4 FROM pairs WHERE rn = 1
+         |ORDER BY qid""".stripMargin,
+
+    "st2_geofence" -> {
+      val contains = (plat: String, plon: String) =>
+        s"(${hav("f.flat", "f.flon", plat, plon)} <= f.fradius)"
+      val cross = GeoFunctions.lineCircleIntersectSql(
+        "t.flat", "t.flon", "t.fradius", "t.prev_lat", "t.prev_lon", "t.lat", "t.lon")
+      s"""WITH ${Derived.trackSqlCte},
+         |${Fences.sqlCte},
+         |tr AS (
+         |  SELECT *, lag(lat, 1, -999.0) OVER w AS prev_lat,
+         |            lag(lon, 1, -999.0) OVER w AS prev_lon
+         |  FROM track WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |nearest AS (
+         |  SELECT t.*, f.fence_key, f.flat, f.flon, f.fradius,
+         |         row_number() OVER (PARTITION BY t.event_id
+         |           ORDER BY ${hav("t.lat", "t.lon", "f.flat", "f.flon")}, f.fence_key) AS frank
+         |  FROM tr t CROSS JOIN fences f),
+         |st AS (
+         |  SELECT event_id, fence_key,
+         |    CASE
+         |      WHEN prev_in AND curr_in THEN ['INSIDE']
+         |      WHEN prev_in AND NOT curr_in THEN ['EXIT', 'OUTSIDE']
+         |      WHEN NOT prev_in AND curr_in THEN ['ENTER', 'INSIDE']
+         |      WHEN crossed THEN ['CROSS']
+         |      ELSE ['OUTSIDE'] END AS statuses
+         |  FROM (
+         |    SELECT t.event_id, t.fence_key,
+         |      (t.prev_lat <> -999.0 AND ${hav("t.flat", "t.flon", "t.prev_lat", "t.prev_lon")} <= t.fradius) AS prev_in,
+         |      (${hav("t.flat", "t.flon", "t.lat", "t.lon")} <= t.fradius) AS curr_in,
+         |      ($cross) AS crossed
+         |    FROM (SELECT * FROM nearest WHERE frank <= 3) t))
+         |SELECT event_id, fence_key,
+         |       CAST(unnest(range(len(statuses))) AS INTEGER) AS seq,
+         |       unnest(statuses) AS status
+         |FROM st
+         |ORDER BY event_id, fence_key, seq""".stripMargin
+    },
+
+    "j1_member_join" ->
+      s"""SELECT o_orderkey, COUNT(*) AS n_items,
+         |       ${q4Sql("sum(l_quantity)")} AS sum_qty4
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, ${q4Sql("sum(l_quantity)")} AS sum_qty4, COUNT(*) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

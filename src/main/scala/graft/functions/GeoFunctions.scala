@@ -158,6 +158,7 @@ object GeoFunctions {
     val disc = s"($beta*$beta - $alpha*$gamma)"
     val t1 = s"((-$beta + sqrt($disc)) / $alpha)"
     val t2 = s"((-$beta - sqrt($disc)) / $alpha)"
-    s"($disc >= 0 AND (($t1 >= 0 AND $t1 <= 1) OR ($t2 >= 0 AND $t2 <= 1)))"
+    // CASE keeps sqrt lazy — DuckDB errors on sqrt of a negative number
+    s"(CASE WHEN $disc < 0 THEN FALSE ELSE (($t1 >= 0 AND $t1 <= 1) OR ($t2 >= 0 AND $t2 <= 1)) END)"
   }
 }

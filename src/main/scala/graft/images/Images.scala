@@ -1,0 +1,176 @@
+package graft.images
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.GeoFunctions
+import graft.core.Cells
+
+/**
+ * The image+caption table per BASELINE.json `input_hint`:
+ * (image_id string, bytes binary, w int, h int, fmt string, caption string,
+ * phash long), synthesized deterministically (seeded per id) — pixels from
+ * a per-image LCG, captions from the documents table, real PNG/JPEG bytes
+ * via javax.imageio (present in the JDK; no external libs).
+ *
+ * The per-row invariant from `input_hint` — decoded pixels allclose
+ * (PSNR >= 40 dB for lossy) + caption equality — is verified by
+ * [[decodeVerify]], which re-derives the expected pixel matrix from the id
+ * and compares against the decoded bytes.
+ *
+ * Spark-side plumbing is the real thing: binary column, typed schema,
+ * partition-parallel encode/decode via mapPartitions (the pattern a
+ * mapInPandas decode stage uses at scale), and `bytes` is projected away
+ * before any shuffle (SURVEY.md §7.4 — image bytes never travel through
+ * joins; spatial/text stages join back by image_id only).
+ */
+object Images {
+
+  val W = 16
+  val H = 16
+
+  /** Deterministic RGB pixels for image `id`: LCG seeded by id. */
+  def pixels(id: Long): Array[Int] = {
+    var s = id * 6364136223846793005L + 1442695040888963407L
+    Array.fill(W * H) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 40) & 0xffffff).toInt
+    }
+  }
+
+  /** 64-bit average-hash (aHash) over the gray values of the pixel matrix. */
+  def phash(px: Array[Int]): Long = {
+    // 8x8 downsample of the 16x16 grid -> 64 cells, bit = cell mean > global mean
+    val gray = px.map { p =>
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      (r * 299 + g * 587 + b * 114) / 1000
+    }
+    val cells = Array.tabulate(64) { i =>
+      val cx = i % 8; val cy = i / 8
+      var sum = 0
+      var dy = 0
+      while (dy < 2) { var dx = 0; while (dx < 2) {
+        sum += gray((cy * 2 + dy) * W + cx * 2 + dx); dx += 1 }; dy += 1 }
+      sum / 4
+    }
+    val mean = cells.sum / 64
+    cells.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      if (v > mean) acc | (1L << i) else acc
+    }
+  }
+
+  def toBufferedImage(px: Array[Int]): BufferedImage = {
+    val img = new BufferedImage(W, H, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, W, H, px, 0, W)
+    img
+  }
+
+  def encode(px: Array[Int], fmt: String): Array[Byte] = {
+    val img = toBufferedImage(px)
+    val bos = new ByteArrayOutputStream()
+    if (fmt == "jpeg") {
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(0.95f)
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(img, null, null), params)
+      writer.dispose(); ios.close()
+    } else {
+      ImageIO.write(img, fmt, bos)
+    }
+    bos.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): Array[Int] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val out = new Array[Int](img.getWidth * img.getHeight)
+    img.getRGB(0, 0, img.getWidth, img.getHeight, out, 0, img.getWidth)
+    out.map(_ & 0xffffff)
+  }
+
+  /** PSNR (dB) between two RGB pixel arrays; +Inf for identical. */
+  def psnrDb(a: Array[Int], b: Array[Int]): Double = {
+    var se = 0.0
+    var n = 0
+    var i = 0
+    while (i < a.length) {
+      var c = 0
+      while (c < 3) {
+        val d = ((a(i) >> (8 * c)) & 0xff) - ((b(i) >> (8 * c)) & 0xff)
+        se += d.toDouble * d; n += 1; c += 1
+      }
+      i += 1
+    }
+    if (se == 0) Double.PositiveInfinity
+    else 10.0 * math.log10(255.0 * 255.0 * n / se)
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("image_id", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("w", IntegerType, nullable = false),
+    StructField("h", IntegerType, nullable = false),
+    StructField("fmt", StringType, nullable = false),
+    StructField("caption", StringType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** Build the image table from the documents table (caption = text),
+   *  encoding pixels partition-parallel. fmt cycles png/jpeg by id. */
+  def imageTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val rdd = docs.rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      val fmt = if (id % 2 == 0) "png" else "jpeg"
+      val px = pixels(id)
+      Row(f"img_$id%012d", encode(px, fmt), W, H, fmt, r.getString(1), phash(px))
+    })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Per-row invariant check (input_hint): decode bytes, compare with the
+   *  re-derived pixels (exact for png, PSNR >= 40 dB for jpeg), caption
+   *  byte-equality vs the documents table. Returns
+   *  (image_id, fmt, psnr4, pixels_ok, caption_ok). */
+  def decodeVerify(images: DataFrame, docs: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("image_id", StringType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("psnr4", LongType, nullable = false),
+      StructField("pixels_ok", BooleanType, nullable = false)))
+    val checked = spark.createDataFrame(
+      images.select("image_id", "bytes", "fmt").rdd.mapPartitions(_.map { r =>
+        val id = r.getString(0).stripPrefix("img_").toLong
+        val decoded = decode(r.getAs[Array[Byte]]("bytes"))
+        val expected = pixels(id)
+        val p = psnrDb(expected, decoded)
+        val ok = if (r.getString(2) == "png") decoded.sameElements(expected) else p >= 40.0
+        val pq = if (p.isInfinite) 9999999L else math.round(p * 10000)
+        Row(r.getString(0), r.getString(2), pq, ok)
+      }), outSchema)
+    val capOk = images.select(col("image_id"), col("caption"))
+      .withColumn("doc_id", substring(col("image_id"), 5, 12).cast("long"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("image_id"), (col("caption") === col("text")).as("caption_ok"))
+    checked.join(capOk, Seq("image_id"))
+  }
+
+  /** Spatial position derived from phash (FIXTURES.md §1): hi 32 bits ->
+   *  lat, lo 32 -> lon over the Java-island region; cell at DefaultLevel. */
+  def withGeo(images: DataFrame, level: Int = Cells.DefaultLevel): DataFrame = {
+    val hi = shiftrightunsigned(col("phash"), 32).cast("double") / 4294967296.0
+    val lo = col("phash").bitwiseAND(lit(0xffffffffL)).cast("double") / 4294967296.0
+    images
+      .withColumn("lat", lit(-8.0) + lit(2.0) * hi)
+      .withColumn("lon", lit(106.0) + lit(5.0) * lo)
+      .withColumn("cell", GeoFunctions.cellEncode(col("lat"), col("lon"), level))
+  }
+}

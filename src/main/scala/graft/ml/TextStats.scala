@@ -118,6 +118,6 @@ object TextStats {
   }
 
   def fingerprintSql(textExpr: String): String =
-    s"(list_sum(list_transform(range(1, len(lower($textExpr)) + 1), " +
-      s"i -> CAST(ascii(substr(lower($textExpr), CAST(i AS INTEGER), 1)) AS BIGINT) * i)) % $FpMod)"
+    s"CAST(list_sum(list_transform(range(1, len(lower($textExpr)) + 1), " +
+      s"i -> CAST(ascii(substr(lower($textExpr), CAST(i AS INTEGER), 1)) AS BIGINT) * i)) % $FpMod AS BIGINT)"
 }

