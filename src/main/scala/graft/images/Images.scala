@@ -34,12 +34,24 @@ object Images {
   val W = 16
   val H = 16
 
-  /** Deterministic RGB pixels for image `id`: LCG seeded by id. */
+  /** Deterministic RGB pixels for image `id`: smooth per-channel gradients
+   *  with LCG-seeded offsets/slopes. Smooth content keeps JPEG at
+   *  quality 0.95 comfortably above the 40 dB PSNR invariant (pure noise
+   *  would be the JPEG worst case and fail it by construction). */
   def pixels(id: Long): Array[Int] = {
     var s = id * 6364136223846793005L + 1442695040888963407L
-    Array.fill(W * H) {
-      s = s * 6364136223846793005L + 1442695040888963407L
-      ((s >>> 40) & 0xffffff).toInt
+    def next(): Int = { s = s * 6364136223846793005L + 1442695040888963407L; ((s >>> 40) & 0xff).toInt }
+    val r0 = next(); val g0 = next(); val b0 = next()
+    val rx = next() % 9 - 4; val ry = next() % 9 - 4
+    val gx = next() % 9 - 4; val gy = next() % 9 - 4
+    val bx = next() % 9 - 4; val by = next() % 9 - 4
+    @inline def clamp(v: Int) = math.max(0, math.min(255, v))
+    Array.tabulate(W * H) { i =>
+      val x = i % W; val y = i / W
+      val r = clamp(r0 + rx * x + ry * y)
+      val g = clamp(g0 + gx * x + gy * y)
+      val b = clamp(b0 + bx * x + by * y)
+      (r << 16) | (g << 8) | b
     }
   }
 

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Ann, Dedup}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumped over the lazy dog"), // near dup
+    (4L, "completely different text about spark engines"),
+    (5L, "another unrelated document mentioning databases")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per text group") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 2L) // docs 1+2 collapse, keep 1
+    assert(out(3L) == 1L && out(4L) == 1L && out(5L) == 1L)
+  }
+
+  test("n-gram Jaccard finds the near-dup pair and not unrelated ones") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.7)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash: identical docs share full signature; candidates cover high-jaccard pairs") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").cache()
+    val rows = sigs.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows(1L) == rows(2L))
+    val cands = Dedup.minhashCandidates(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(cands.contains((1L, 3L)))
+  }
+
+  test("simhash: identical docs identical hash; near dups within small hamming") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").cache()
+    val m = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(1L), m(3L)) < hamming(m(1L), m(4L)))
+    val pairs = Dedup.simhashPairs(sh, maxHamming = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("embedding cosine near-dup pairs via LSH buckets") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.2f)),
+      (2L, Seq(0.99f, 0.01f, 0.0f, 0.2f)), // near dup of 1
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, -0.4f))
+    ).toDF("vec_id", "embedding")
+    val bucketed = Ann.lshBuckets(vecs, "vec_id", "embedding", nBits = 6, dim = 4)
+    val pairs = Ann.cosinePairs(bucketed, 0.99)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
