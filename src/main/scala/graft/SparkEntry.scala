@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.entry.{MlQueries, SpatialQueries, TextQueries}
+import graft.entry.{MlQueries, SkewQueries, SpatialQueries, TextQueries}
 import graft.images.Images
 import graft.query.Spatial
 
@@ -37,8 +37,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    SpatialQueries.queries ++ TextQueries.queries ++ MlQueries.queries
+    SpatialQueries.queries ++ TextQueries.queries ++ MlQueries.queries ++
+      SkewQueries.queries
 
   def oracleSql: Map[String, String] =
-    SpatialQueries.oracles ++ TextQueries.oracles ++ MlQueries.oracles
+    SpatialQueries.oracles ++ TextQueries.oracles ++ MlQueries.oracles ++
+      SkewQueries.oracles
 }

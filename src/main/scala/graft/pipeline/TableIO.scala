@@ -62,8 +62,14 @@ object TableIO {
     val perFile = written.select(input_file_name().as("file"))
       .groupBy("file").agg(count(lit(1)).as("rows"))
       .collect()
-      .map(r => s"""{"file": "${esc(r.getString(0).split("/").last)}", "rows": ${r.getLong(1)}}""")
-    val totalRows = perFile.map(_.split(":").last.dropRight(1).trim.toLong).sum
+      .map { r =>
+        // keep the partition directory (e.g. bucket=7/part-...) so lineage
+        // identifies the physical partition, not just a basename
+        val rel = r.getString(0).split("/").dropWhile(_ != name).drop(1).mkString("/")
+        (rel, r.getLong(1))
+      }.sortBy(_._1)
+    val totalRows = perFile.map(_._2).sum
+    val perFileJson = perFile.map { case (f, n) => s"""{"file": "${esc(f)}", "rows": $n}""" }
     val wallSec = (System.nanoTime() - t0) / 1e9
     val manifest =
       s"""{
@@ -72,7 +78,7 @@ object TableIO {
          |  "wall_sec": $wallSec,
          |  "schema": "${esc(df.schema.simpleString)}",
          |  "partition_by": [${partitionBy.map(p => s""""${esc(p)}"""").mkString(", ")}],
-         |  "partitions": [${perFile.mkString(", ")}]
+         |  "partitions": [${perFileJson.mkString(", ")}]
          |}""".stripMargin
     Files.write(manifestPath(dir, name), manifest.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)

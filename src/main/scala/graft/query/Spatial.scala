@@ -97,19 +97,36 @@ object Spatial {
               level: Int = Cells.DefaultLevel, initialR: Int = 1,
               maxRounds: Int = 8): DataFrame = {
     val spark = points.sparkSession
+    // materialize the (small, by contract) query side once — it may derive
+    // from a full scan of the point table, and each round references it
+    // several times (broadcast build + semi-join narrowing)
     var pending = queries.select(col("qid"), col("qlat"), col("qlon"))
+      .localCheckpoint(eager = true)
     var acc: Option[DataFrame] = None
     var r = initialR
     var round = 0
+    val debug = spark.conf.getOption("spark.graft.knn.debug").contains("true")
     while (round < maxRounds && !pending.isEmpty) {
+      if (debug) println(s"knnJoin round=$round r=$r pending=${pending.count()}")
       val qCells = pending
         .withColumn("qcell", cellEncode(col("qlat"), col("qlon"), lit(level)))
         .withColumn("cell", explode(cellDisk(col("qcell"), lit(r))))
       // the query side is small relative to the point table: broadcast it
       val joined = points.join(broadcast(qCells), Seq("cell"))
         .withColumn("dist_km", haversineKm(col("qlat"), col("qlon"), col("lat"), col("lon")))
-      val w = Window.partitionBy(col("qid")).orderBy(col("dist_km"), col("id"))
-      val topk = joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      // bounded top-k aggregate (map-side combine): each map task ships at
+      // most k rows per query instead of every candidate in the cell disk —
+      // see graft.functions.TopK. Materialized ONCE per round (≤ k rows per
+      // pending query); the flags/done/pending splits below would otherwise
+      // re-execute the whole join subtree three times.
+      val topk = joined
+        .groupBy(col("qid"), col("qlat"), col("qlon"))
+        .agg(graft.functions.TopK.topKByDist(k)(col("dist_km"), col("id")).as("nn"))
+        .select(col("qid"), col("qlat"), col("qlon"), posexplode(col("nn")))
+        .select(col("qid"), col("qlat"), col("qlon"),
+          col("col._2").as("id"), col("col._1").as("dist_km"),
+          (col("pos") + 1).cast("int").as("rn"))
+        .localCheckpoint(eager = true)
       // convergence: kth distance within the provable bound for this r
       val perQ = topk.groupBy(col("qid"), col("qlat"), col("qlon"))
         .agg(max(col("dist_km")).as("kth"), count(lit(1)).as("cnt"))
@@ -118,12 +135,12 @@ object Spatial {
       val flags = perQ.withColumn("ok",
         col("cnt") >= k && col("kth") <= boundUdf(col("qlat"), col("qlon")))
       val okIds = flags.filter(col("ok")).select("qid")
-      val done = topk.join(okIds, Seq("qid"), "left_semi")
+      val done = topk.join(broadcast(okIds), Seq("qid"), "left_semi")
         .select(col("qid"), col("id"), col("dist_km"), col("rn"))
+      // topk is already checkpointed, so the accumulated union stays flat
       acc = Some(acc.map(_.unionByName(done)).getOrElse(done))
-      // force materialization of this round before narrowing
-      acc = Some(acc.get.localCheckpoint(eager = true))
-      pending = pending.join(flags.filter(!col("ok")).select("qid"), Seq("qid"), "left_semi")
+      pending = pending.join(broadcast(flags.filter(!col("ok")).select("qid")),
+          Seq("qid"), "left_semi")
         .localCheckpoint(eager = true)
       r *= 2
       round += 1

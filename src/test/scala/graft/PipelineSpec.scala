@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Pipeline, TableIO}
+
+/** End-to-end pipeline: all six stages run, the invariant stage reports zero
+ *  violations, and a second invocation resumes every stage from its lineage
+ *  manifest without recomputation (north_rule exact-resume). */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("pipeline runs end-to-end, invariants hold, and re-run resumes all stages") {
+    val out = Files.createTempDirectory("graft-pipe").toString
+    val m1 = Pipeline.run(spark, Sf, out)
+    assert(m1.map(_._1) ===
+      Seq("images", "tiles", "postings", "pip", "knn", "verify"))
+    assert(m1.forall(!_._4), "first run must not report resumed stages")
+    assert(m1.forall(_._2 > 0), "every stage must produce rows")
+
+    // invariant stage: zero PSNR/caption violations (input_hint)
+    val v = spark.read.parquet(s"$out/verify").head()
+    assert(v.getAs[Long]("violations") === 0L)
+    assert(v.getAs[Long]("min_psnr4") >= 400000L) // >= 40 dB (q4-quantized)
+
+    // every stage wrote a lineage manifest with per-partition rows
+    for (name <- m1.map(_._1)) {
+      val manifest = new String(Files.readAllBytes(TableIO.manifestPath(out, name)))
+      assert(manifest.contains("\"rows\""))
+      assert(manifest.contains("\"partitions\""))
+      assert(manifest.contains("\"wall_sec\""))
+    }
+
+    // exact resume: second run skips everything and returns identical counts
+    val m2 = Pipeline.run(spark, Sf, out)
+    assert(m2.forall(_._4), "second run must resume every stage")
+    assert(m2.map(m => m._1 -> m._2) === m1.map(m => m._1 -> m._2))
+  }
+}
