@@ -112,6 +112,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T5: full /api/search lifecycle (searcher.go:97-204) — tokenize,
+    // BM25F score, distributed top-k, hydrate via broadcast join (J6)
+    "t5_search_e2e" -> ((s, dir) =>
+      index(s, dir).search("Spark, JOIN src3!", k = 10)
+        .select(col("doc_id"), q6(col("score")).as("score6"), col("lang"), col("n_chars"))
+        .orderBy(desc("score6"), col("doc_id"))),
+
+    // T6: /api/autocomplete lifecycle (searcher.go:207-399) — last token is
+    // a prefix, top-3 frequency-ranked completions, candidate queries BM25F
+    // scored and unioned, max per doc, top-k, hydrate
+    "t6_autocomplete" -> ((s, dir) =>
+      index(s, dir).autocomplete("spark jo", k = 10)
+        .select(col("doc_id"), q6(col("score")).as("score6"), col("lang"))
+        .orderBy(desc("score6"), col("doc_id"))),
+
     // SO-extra: OR/NOT — declared but unimplemented in the reference
     // (boolean_query.go:135-141); completed here as union/anti
     "so2_or_not" -> ((s, dir) => {
@@ -128,15 +143,20 @@ object TextQueries {
 
   private val T = Derived.tokensSql _
 
-  /** Shared text-index CTEs (postings with tf + lengths, both fields). */
-  val indexCtes: String =
+  /** Query-independent text-index CTEs (postings with tf + lengths, both
+   *  fields, doc count). */
+  val baseCtes: String =
     s"""tn AS (SELECT doc_id, unnest(${T("text")}) AS term FROM documents),
        |ta AS (SELECT doc_id, unnest(${T("source")}) AS term FROM documents),
        |pn AS (SELECT term, doc_id, COUNT(*) AS tf FROM tn GROUP BY 1, 2),
        |pa AS (SELECT term, doc_id, COUNT(*) AS tf FROM ta GROUP BY 1, 2),
        |ln AS (SELECT doc_id, len(${T("text")}) AS len FROM documents),
        |la AS (SELECT doc_id, len(${T("source")}) AS len FROM documents),
-       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)""".stripMargin
+
+  /** Shared text-index CTEs with the fixed QTerms query + its df. */
+  val indexCtes: String =
+    s"""$baseCtes,
        |q AS (SELECT unnest([${QTerms.map(t => s"'$t'").mkString(",")}]) AS term),
        |dfq AS (SELECT term, COUNT(*) AS df FROM (
        |  SELECT DISTINCT term, doc_id FROM (
@@ -229,6 +249,67 @@ object TextQueries {
          |b AS (SELECT unnest(p[1:len(p)-1]) AS w1, unnest(p[2:len(p)]) AS w2 FROM pads)
          |SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY 1, 2
          |ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "t5_search_e2e" ->
+      s"""WITH $indexCtes,
+         |avgn AS (SELECT AVG(CAST(len AS DOUBLE)) AS v FROM ln),
+         |avga AS (SELECT AVG(CAST(len AS DOUBLE)) AS v FROM la),
+         |contrib AS (
+         |  SELECT doc_id,
+         |    (w / (10.0 + w)) *
+         |      (log10((SELECT n FROM nn) - df + 0.5) - log10(df + 0.5)) AS c
+         |  FROM (
+         |    SELECT p.doc_id, d.df,
+         |      20.0 * p.tf / (1.0 + 0.95 * (l.len / (SELECT v FROM avgn) - 1.0)) AS w
+         |    FROM pn p JOIN q ON p.term = q.term
+         |      JOIN ln l ON p.doc_id = l.doc_id
+         |      JOIN dfq d ON p.term = d.term
+         |    UNION ALL
+         |    SELECT p.doc_id, d.df,
+         |      1.0 * p.tf / (1.0 + 0.95 * (l.len / (SELECT v FROM avga) - 1.0)) AS w
+         |    FROM pa p JOIN q ON p.term = q.term
+         |      JOIN la l ON p.doc_id = l.doc_id
+         |      JOIN dfq d ON p.term = d.term)),
+         |top AS (
+         |  SELECT doc_id, SUM(c) AS score FROM contrib GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT t.doc_id, ${q6Sql("t.score")} AS score6, d.lang, d.n_chars
+         |FROM top t JOIN documents d USING (doc_id)
+         |ORDER BY score6 DESC, t.doc_id""".stripMargin,
+
+    "t6_autocomplete" ->
+      s"""WITH $baseCtes,
+         |v AS (SELECT term, COUNT(*) AS freq FROM tn GROUP BY term),
+         |cand AS (SELECT term AS cterm FROM v WHERE term LIKE 'jo%'
+         |         ORDER BY freq DESC, term LIMIT 3),
+         |qc AS (SELECT cterm, unnest(['spark', cterm]) AS term FROM cand),
+         |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM (
+         |    SELECT term, doc_id FROM pn UNION ALL SELECT term, doc_id FROM pa)
+         |  WHERE term IN (SELECT term FROM qc) GROUP BY term),
+         |avgn AS (SELECT AVG(CAST(len AS DOUBLE)) AS v FROM ln),
+         |avga AS (SELECT AVG(CAST(len AS DOUBLE)) AS v FROM la),
+         |contrib AS (
+         |  SELECT cterm, doc_id,
+         |    (w / (10.0 + w)) *
+         |      (log10((SELECT n FROM nn) - df + 0.5) - log10(df + 0.5)) AS c
+         |  FROM (
+         |    SELECT qc.cterm, p.doc_id, d.df,
+         |      20.0 * p.tf / (1.0 + 0.95 * (l.len / (SELECT v FROM avgn) - 1.0)) AS w
+         |    FROM pn p JOIN qc ON p.term = qc.term
+         |      JOIN ln l ON p.doc_id = l.doc_id
+         |      JOIN dfq d ON p.term = d.term
+         |    UNION ALL
+         |    SELECT qc.cterm, p.doc_id, d.df,
+         |      1.0 * p.tf / (1.0 + 0.95 * (l.len / (SELECT v FROM avga) - 1.0)) AS w
+         |    FROM pa p JOIN qc ON p.term = qc.term
+         |      JOIN la l ON p.doc_id = l.doc_id
+         |      JOIN dfq d ON p.term = d.term)),
+         |perq AS (SELECT cterm, doc_id, SUM(c) AS score FROM contrib GROUP BY 1, 2),
+         |best AS (SELECT doc_id, MAX(score) AS score FROM perq GROUP BY doc_id),
+         |top AS (SELECT doc_id, score FROM best ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT t.doc_id, ${q6Sql("t.score")} AS score6, d.lang
+         |FROM top t JOIN documents d USING (doc_id)
+         |ORDER BY score6 DESC, t.doc_id""".stripMargin,
 
     "t4_spell" ->
       s"""WITH tn AS (SELECT doc_id, unnest(${T("text")}) AS term FROM documents),
