@@ -67,6 +67,19 @@ object MlQueries {
         .select(col("vec_id"), col("cos6"))
     }),
 
+    // E3: IVF (inverted-file) approximate top-k — full probe (nprobe =
+    // nlist) equals brute force EXACTLY, which gives this approximate op a
+    // deterministic oracle; the partial-probe scale path is recall-tested
+    // in AnnSpec
+    "e3_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 1)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val cents = Ann.ivfCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val assigned = Ann.ivfAssign(e, "vec_id", "embedding", cents)
+      Ann.ivfTopK(assigned, cents, q, k = 10, nprobe = 8)
+    }),
+
     // X1: language ID heuristic
     "x1_langid" -> ((s, dir) =>
       TextStats.langId(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
@@ -158,6 +171,22 @@ object MlQueries {
          |  FROM ev e JOIN qv q ON e.pos = q.pos GROUP BY e.vec_id)
          |SELECT vec_id, ${Derived.q4Sql("dot / (sqrt(n2) * sqrt(qn2))")} AS cos4
          |FROM d ORDER BY cos4 DESC, vec_id LIMIT 10""".stripMargin,
+
+    // full-probe IVF == brute force exactly, so the approximate operator
+    // gets a deterministic oracle (double summation differs from DuckDB's
+    // far below the 1e-6 quantum)
+    "e3_ann_ivf" ->
+      s"""WITH qv AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+         |    unnest(range(len(embedding))) AS pos
+         |  FROM embeddings WHERE vec_id = 1),
+         |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |    unnest(range(len(embedding))) AS pos
+         |  FROM embeddings),
+         |d AS (SELECT e.vec_id, SUM(e.v * q.v) AS dot,
+         |    SUM(e.v * e.v) AS n2, SUM(q.v * q.v) AS qn2
+         |  FROM ev e JOIN qv q ON e.pos = q.pos GROUP BY e.vec_id)
+         |SELECT vec_id, ${Derived.q6Sql("dot / (sqrt(n2) * sqrt(qn2))")} AS cos6
+         |FROM d ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, vec_id LIMIT 10""".stripMargin,
 
     "x1_langid" ->
       s"""SELECT doc_id, ${TextStats.langIdSqlCase("text")} AS lang_pred

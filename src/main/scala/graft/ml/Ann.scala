@@ -80,6 +80,83 @@ object Ann {
       .select(col("vec_id"), round(col("cos") * 1000000).cast("long").as("cos6"))
   }
 
+  // ---- IVF (inverted-file index) — the second standard ANN scale path ----
+  //
+  // A coarse k-means quantizer partitions the vector space into `nlist`
+  // cells; each vector is assigned to its nearest centroid (the "inverted
+  // list"). A query probes only the `nprobe` nearest lists. At 10^12 rows
+  // the assigned table is PARTITIONED BY list, so a probe is partition
+  // pruning — the scan touches nprobe/nlist of the data. With
+  // nprobe = nlist, IVF search is exactly brute force (asserted in AnnSpec).
+
+  /**
+   * Deterministic distributed k-means: seeds are the `nlist` rows with the
+   * smallest id-hash (stable, data-independent of partitioning), then
+   * `iters` Lloyd iterations — assignment is a broadcast argmin over
+   * centroids; new means are computed distributed via posexplode +
+   * groupBy(list, pos).avg. Only `nlist × dim` doubles ever reach the
+   * driver.
+   */
+  def ivfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int, iters: Int = 3): Array[Array[Double]] = {
+    val base = embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("vec"))
+    var cents = base
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+      .limit(nlist).collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val means = ivfAssign(base, "vec_id", "vec", cents)
+        .select(col("list"), posexplode(col("vec")))
+        .groupBy("list", "pos").agg(avg("col").as("m"))
+        .collect()
+      val byList = means.groupBy(_.getInt(0))
+      cents = cents.indices.map { l =>
+        byList.get(l).map { rows =>
+          val arr = new Array[Double](cents(l).length)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          arr
+        }.getOrElse(cents(l)) // empty list keeps its centroid
+      }.toArray
+    }
+    cents
+  }
+
+  /** Assign each vector to its nearest centroid (L2 argmin, broadcast). */
+  def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[Array[Double]]): DataFrame = {
+    val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
+    val assign = udf((v: Seq[Double]) => {
+      val cs = bc.value
+      var best = 0; var bd = Double.MaxValue; var i = 0
+      while (i < cs.length) {
+        var d = 0.0; var j = 0
+        while (j < cs(i).length) { val t = v(j) - cs(i)(j); d += t * t; j += 1 }
+        if (d < bd) { bd = d; best = i }
+        i += 1
+      }
+      best
+    })
+    embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("list", assign(col("vec")))
+  }
+
+  /** IVF top-k: probe the `nprobe` centroids nearest to the query, exact
+   *  cosine rank inside the probed lists. */
+  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
+              query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.zip(query).map { case (a, b) => val t = a - b; t * t }.sum)
+      }
+      .sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1)
+    assigned.filter(col("list").isin(probes.map(Integer.valueOf).toSeq: _*))
+      .select(col("vec_id"), cosineLit(col("vec"), query).as("cos"))
+      .orderBy(desc("cos"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos") * 1000000).cast("long").as("cos6"))
+  }
+
   /** Near-duplicate pairs by cosine >= threshold, LSH-bucketed self-join
    *  (exact within a bucket; recall governed by nBits). */
   def cosinePairs(bucketed: DataFrame, threshold: Double): DataFrame = {

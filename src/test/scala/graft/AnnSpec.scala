@@ -34,6 +34,38 @@ class AnnSpec extends AnyFunSuite {
     assert(probed == emb.count())
   }
 
+  test("IVF full probe (nprobe = nlist) equals brute force exactly") {
+    val exact = Ann.cosineTopK(emb, "vec_id", "embedding", query, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 100)).toSeq
+    val cents = Ann.ivfCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 2)
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", cents)
+    val ivf = Ann.ivfTopK(assigned, cents, query, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 100)).toSeq
+    assert(ivf == exact)
+  }
+
+  test("IVF partial probe: recall >= 0.6 at nprobe=2/8 and scans a strict subset") {
+    val exact = Ann.cosineTopK(emb, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val cents = Ann.ivfCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 2)
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", cents).cache()
+    val approx = Ann.ivfTopK(assigned, cents, query, k = 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+    // the probed lists hold fewer rows than the table (that IS the speedup)
+    val listSizes = assigned.groupBy("list").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(listSizes.values.sum == emb.count())
+    assert(listSizes.size > 1, "k-means collapsed to one list")
+  }
+
+  test("IVF centroids are deterministic across invocations") {
+    val a = Ann.ivfCentroids(emb, "vec_id", "embedding", nlist = 4, iters = 1)
+    val b = Ann.ivfCentroids(emb, "vec_id", "embedding", nlist = 4, iters = 1)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("deterministic hyperplanes: same (j, dim) -> same vector") {
     assert(Ann.hyperplane(3, 16).toSeq == Ann.hyperplane(3, 16).toSeq)
     assert(Ann.hyperplane(3, 16).forall(v => v >= -1.0 && v < 1.0))
