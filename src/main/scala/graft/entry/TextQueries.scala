@@ -127,6 +127,19 @@ object TextQueries {
         .select(col("doc_id"), q6(col("score")).as("score6"), col("lang"))
         .orderBy(desc("score6"), col("doc_id"))),
 
+    // T7: the COMPOSED /api/search lifecycle including spell correction
+    // (searcher.go:97-204 steps 3-9): the typo'd query corrects to exactly
+    // QTerms, so the oracle is t5's SQL — the whole chain (candidate gen,
+    // LM+noisy ranking, BM25F, top-k, hydration) is verified row-for-row
+    "t7_freeform" -> ((s, dir) => {
+      val searcher = new graft.query.Searcher(
+        docs(s, dir), "doc_id", "text", "source",
+        spellErrorLines = Seq("spark: spqrk, sprak"))
+      searcher.freeFormQuery(s"$Typo join src3", k = 10)
+        .select(col("doc_id"), q6(col("score")).as("score6"), col("lang"), col("n_chars"))
+        .orderBy(desc("score6"), col("doc_id"))
+    }),
+
     // SO-extra: OR/NOT — declared but unimplemented in the reference
     // (boolean_query.go:135-141); completed here as union/anti
     "so2_or_not" -> ((s, dir) => {
@@ -308,6 +321,34 @@ object TextQueries {
          |best AS (SELECT doc_id, MAX(score) AS score FROM perq GROUP BY doc_id),
          |top AS (SELECT doc_id, score FROM best ORDER BY score DESC, doc_id LIMIT 10)
          |SELECT t.doc_id, ${q6Sql("t.score")} AS score6, d.lang
+         |FROM top t JOIN documents d USING (doc_id)
+         |ORDER BY score6 DESC, t.doc_id""".stripMargin,
+
+    // identical to t5: the typo'd query must correct to exactly QTerms
+    "t7_freeform" ->
+      s"""WITH $indexCtes,
+         |avgn AS (SELECT AVG(CAST(len AS DOUBLE)) AS v FROM ln),
+         |avga AS (SELECT AVG(CAST(len AS DOUBLE)) AS v FROM la),
+         |contrib AS (
+         |  SELECT doc_id,
+         |    (w / (10.0 + w)) *
+         |      (log10((SELECT n FROM nn) - df + 0.5) - log10(df + 0.5)) AS c
+         |  FROM (
+         |    SELECT p.doc_id, d.df,
+         |      20.0 * p.tf / (1.0 + 0.95 * (l.len / (SELECT v FROM avgn) - 1.0)) AS w
+         |    FROM pn p JOIN q ON p.term = q.term
+         |      JOIN ln l ON p.doc_id = l.doc_id
+         |      JOIN dfq d ON p.term = d.term
+         |    UNION ALL
+         |    SELECT p.doc_id, d.df,
+         |      1.0 * p.tf / (1.0 + 0.95 * (l.len / (SELECT v FROM avga) - 1.0)) AS w
+         |    FROM pa p JOIN q ON p.term = q.term
+         |      JOIN la l ON p.doc_id = l.doc_id
+         |      JOIN dfq d ON p.term = d.term)),
+         |top AS (
+         |  SELECT doc_id, SUM(c) AS score FROM contrib GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT t.doc_id, ${q6Sql("t.score")} AS score6, d.lang, d.n_chars
          |FROM top t JOIN documents d USING (doc_id)
          |ORDER BY score6 DESC, t.doc_id""".stripMargin,
 

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.query.Searcher
+
+/**
+ * The composed /api/search and /api/autocomplete lifecycles vs the
+ * reference's E2E assertions (searcher_test.go:50-135): exact query,
+ * spell-corrected query (edit distance 2, two typo'd tokens), autocomplete
+ * prefix, empty query.
+ */
+class SearcherSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "Jalan Sentosa Harapan", "Jalan Sentosa no 4"),
+    (2L, "Dunia Fantasi", "Jalan Lodan Timur no 7"),
+    (3L, "Kebun Binatang Ragunan", "Jalan Harsono no 1"),
+    (4L, "Monumen Nasional", "Gambir Jakarta Pusat"),
+    (5L, "Taman Mini Indonesia Indah", "Ceger Cipayung Jakarta Timur"),
+    (6L, "Taman Suropati", "Menteng Jakarta Pusat")
+  ).toDF("doc_id", "name", "address")
+
+  lazy val searcher = new Searcher(docs, "doc_id", "name", "address",
+    spellErrorLines = Seq(
+      "dunia: duniu, dunai",
+      "fantasi: fsntaso, fantasy",
+      "binatang: bibatqng",
+      "ragunan: raginan"))
+
+  test("exact query: 'Dunia Fantasi' top-1 is doc 2 (searcher_test.go:56-66)") {
+    val top = searcher.freeFormQuery("Dunia Fantasi", 3).select("doc_id", "name").collect()
+    assert(top.head.getLong(0) == 2L && top.head.getString(1) == "Dunia Fantasi")
+  }
+
+  test("spell-corrected: 'Duniu Fsntaso' -> Dunia Fantasi (searcher_test.go:69-84)") {
+    assert(searcher.correct("Duniu Fsntaso") == Seq("dunia", "fantasi"))
+    val top = searcher.freeFormQuery("Duniu Fsntaso", 3).select("name").collect()
+    assert(top.head.getString(0) == "Dunia Fantasi")
+  }
+
+  test("spell-corrected: 'Kebun Bibatqng Raginan' -> Kebun Binatang Ragunan (searcher_test.go:86-101)") {
+    assert(searcher.correct("Kebun Bibatqng Raginan") == Seq("kebun", "binatang", "ragunan"))
+    val top = searcher.freeFormQuery("Kebun Bibatqng Raginan", 3).select("name").collect()
+    assert(top.head.getString(0) == "Kebun Binatang Ragunan")
+  }
+
+  test("autocomplete: 'Monumen Nasi' -> Monumen Nasional (searcher_test.go:119-135)") {
+    val res = searcher.autocomplete("Monumen Nasi", 3).select("name").collect()
+    assert(res.exists(_.getString(0).contains("Monumen Nasional")))
+  }
+
+  test("autocomplete: 'Taman Min' -> Taman Mini Indonesia Indah") {
+    val res = searcher.autocomplete("Taman Min", 3).select("name").collect()
+    assert(res.exists(_.getString(0).contains("Taman Mini")))
+  }
+
+  test("autocomplete corrects a typo'd last token too (edit candidates in the union)") {
+    val res = searcher.autocomplete("kebun bibatqng", 3).select("name").collect()
+    assert(res.exists(_.getString(0).contains("Kebun Binatang")))
+  }
+
+  test("empty query returns empty (reference errors on empty, searcher_test.go:103-110)") {
+    assert(searcher.autocomplete("", 3).isEmpty)
+    assert(searcher.correct("") == Seq.empty)
+  }
+}
