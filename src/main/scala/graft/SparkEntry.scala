@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.entry.{MlQueries, SkewQueries, SpatialQueries, TextQueries}
+import graft.entry.{MlQueries, RasterQueries, SkewQueries, SpatialQueries, TextQueries}
 import graft.images.Images
 import graft.query.Spatial
 
@@ -38,9 +38,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SpatialQueries.queries ++ TextQueries.queries ++ MlQueries.queries ++
-      SkewQueries.queries
+      SkewQueries.queries ++ RasterQueries.queries
 
   def oracleSql: Map[String, String] =
     SpatialQueries.oracles ++ TextQueries.oracles ++ MlQueries.oracles ++
-      SkewQueries.oracles
+      SkewQueries.oracles ++ RasterQueries.oracles
 }
