@@ -80,6 +80,18 @@ object MlQueries {
       Ann.ivfTopK(assigned, cents, q, k = 10, nprobe = 8)
     }),
 
+    // F18: distributed decode -> bilinear resize -> lossless re-encode over
+    // the binary column (rows-only: DuckDB cannot decode PNG; exactness is
+    // spec-tested in ImagesSpec against the re-derived pixel matrices)
+    "f18_image_resize" -> ((s, dir) =>
+      Images.resize(Images.imageTable(s, dir), 8, 8)
+        .select(col("image_id"), col("w"), col("h"), col("fmt"), length(col("bytes")).as("n_bytes"))
+        .orderBy(col("image_id"))),
+
+    // F19: per-image feature extraction (channel means + aHash), rows-only
+    "f19_image_features" -> ((s, dir) =>
+      Images.features(Images.imageTable(s, dir)).orderBy(col("image_id"))),
+
     // X1: language ID heuristic
     "x1_langid" -> ((s, dir) =>
       TextStats.langId(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),

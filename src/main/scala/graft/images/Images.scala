@@ -76,14 +76,16 @@ object Images {
     }
   }
 
-  def toBufferedImage(px: Array[Int]): BufferedImage = {
-    val img = new BufferedImage(W, H, BufferedImage.TYPE_INT_RGB)
-    img.setRGB(0, 0, W, H, px, 0, W)
+  def toBufferedImage(px: Array[Int], w: Int = W, h: Int = H): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, px, 0, w)
     img
   }
 
-  def encode(px: Array[Int], fmt: String): Array[Byte] = {
-    val img = toBufferedImage(px)
+  def encode(px: Array[Int], fmt: String): Array[Byte] = encodeWH(px, W, H, fmt)
+
+  def encodeWH(px: Array[Int], w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = toBufferedImage(px, w, h)
     val bos = new ByteArrayOutputStream()
     if (fmt == "jpeg") {
       val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
@@ -173,6 +175,63 @@ object Images {
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       .select(col("image_id"), (col("caption") === col("text")).as("caption_ok"))
     checked.join(capOk, Seq("image_id"))
+  }
+
+  /** Bilinear resize via Graphics2D (deterministic, JDK-only). */
+  def resizePx(px: Array[Int], w: Int, h: Int, outW: Int, outH: Int): Array[Int] = {
+    val src = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    src.setRGB(0, 0, w, h, px, 0, w)
+    val dst = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(src, 0, 0, outW, outH, null)
+    g.dispose()
+    val out = new Array[Int](outW * outH)
+    dst.getRGB(0, 0, outW, outH, out, 0, outW)
+    out.map(_ & 0xffffff)
+  }
+
+  /**
+   * Distributed decode → resize → re-encode over the binary column,
+   * partition-parallel (the mapInPandas-decode shape with the real JVM
+   * codec; bytes stay inside the partition, no shuffle). Output keeps the
+   * input_hint schema with new (bytes, w, h) and fmt forced to png
+   * (deterministic re-encode).
+   */
+  def resize(images: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val spark = images.sparkSession
+    val rdd = images.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+      .rdd.mapPartitions(_.map { r =>
+        val px = decode(r.getAs[Array[Byte]]("bytes"))
+        val rp = resizePx(px, r.getAs[Int]("w"), r.getAs[Int]("h"), outW, outH)
+        Row(r.getString(0), encodeWH(rp, outW, outH, "png"), outW, outH, "png",
+          r.getAs[String]("caption"), r.getAs[Long]("phash"))
+      })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /**
+   * Per-image feature extraction: decode and emit channel statistics
+   * (mean R/G/B ×10000 as longs — exact integers, so the spec can compare
+   * against the re-derived pixel matrix bit-for-bit) plus the gray aHash.
+   */
+  def features(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("image_id", StringType, nullable = false),
+      StructField("mean_r4", LongType, nullable = false),
+      StructField("mean_g4", LongType, nullable = false),
+      StructField("mean_b4", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val rdd = images.select("image_id", "bytes").rdd.mapPartitions(_.map { r =>
+      val px = decode(r.getAs[Array[Byte]]("bytes"))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      px.foreach { p => sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff }
+      val n = px.length
+      Row(r.getString(0), sr * 10000 / n, sg * 10000 / n, sb * 10000 / n, phash(px))
+    })
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Spatial position derived from phash (FIXTURES.md §1): hi 32 bits ->

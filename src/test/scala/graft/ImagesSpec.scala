@@ -43,6 +43,46 @@ class ImagesSpec extends AnyFunSuite {
     assert(verified.filter(col("fmt") === "jpeg" && col("psnr4") < 400000L).count() == 0)
   }
 
+  test("resizePx: dims, determinism, constant color preserved") {
+    val flat = Array.fill(16 * 16)(0x336699)
+    val small = Images.resizePx(flat, 16, 16, 4, 4)
+    assert(small.length == 16)
+    assert(small.forall(_ == 0x336699), "bilinear resize of a constant image changed colors")
+    val px = Images.pixels(42L)
+    assert(Images.resizePx(px, 16, 16, 8, 8).toSeq == Images.resizePx(px, 16, 16, 8, 8).toSeq)
+  }
+
+  test("resize over the binary column: schema kept, png output decodes to the resized pixels") {
+    val imgs = Images.imageTable(spark, TestSpark.Sf).filter(col("fmt") === "png").limit(4)
+    val resized = Images.resize(imgs, 8, 8)
+    assert(resized.schema == Images.schema)
+    val rows = resized.collect()
+    assert(rows.forall(r => r.getAs[Int]("w") == 8 && r.getAs[Int]("h") == 8
+      && r.getAs[String]("fmt") == "png"))
+    // lossless path: decode(resized) == resizePx(decode(original)) exactly
+    for (r <- rows) {
+      val id = r.getAs[String]("image_id").stripPrefix("img_").toLong
+      val expected = Images.resizePx(Images.pixels(id), Images.W, Images.H, 8, 8)
+      assert(Images.decode(r.getAs[Array[Byte]]("bytes")).sameElements(expected),
+        s"mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("features: channel means and ahash exact for lossless rows") {
+    val imgs = Images.imageTable(spark, TestSpark.Sf).filter(col("fmt") === "png").limit(4)
+    val feats = Images.features(imgs).collect()
+    assert(feats.nonEmpty)
+    for (f <- feats) {
+      val id = f.getAs[String]("image_id").stripPrefix("img_").toLong
+      val px = Images.pixels(id)
+      def mean(shift: Int) = px.map(p => ((p >> shift) & 0xff).toLong).sum * 10000 / px.length
+      assert(f.getAs[Long]("mean_r4") == mean(16))
+      assert(f.getAs[Long]("mean_g4") == mean(8))
+      assert(f.getAs[Long]("mean_b4") == mean(0))
+      assert(f.getAs[Long]("ahash") == Images.phash(px))
+    }
+  }
+
   test("geo derivation from phash assigns in-region coordinates and cells") {
     val g = Images.withGeo(Images.imageTable(spark, TestSpark.Sf)).cache()
     val r = g.agg(min("lat"), max("lat"), min("lon"), max("lon")).head()
