@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // headroom or GC dominates and parallelism inverts (measured: north job
   // at local[32] was 2x SLOWER than local[8] at 8g, 1.6x faster at 48g)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Pin the heap and pre-touch it at JVM start: lazy commit/uncommit of a
+  // 48g G1 heap showed up as 15-30s bursts of 35% kernel time (page zeroing)
+  // in the MIDDLE of timed benchmark runs (vmstat: us~1%, sy~35%, r~17).
+  // Pre-touching moves that cost to JVM startup, which is never timed.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -212,6 +212,26 @@ object Cells {
     }
   }
 
+  /**
+   * Is the cell's whole rectangle provably inside the polygon (under the
+   * reference PIP semantics)? True when NO polygon edge intersects the cell
+   * rect — so the winding number is constant across the cell — and the cell
+   * center is winding-inside. Uses the quirk-free winding test: the
+   * reference's edge-bbox short-circuit can only ADD acceptance, so a
+   * winding-inside cell untouched by any edge is all-accepted.
+   *
+   * Lets a PIP join skip the per-row refine for interior cells: a polygon's
+   * cover is O(area) cells but only O(perimeter) of them are boundary.
+   */
+  def cellInteriorOfPolygon(cell: Long, polyLat: Array[Double], polyLon: Array[Double]): Boolean = {
+    val (latMin, lonMin, latMax, lonMax) = bounds(cell)
+    val edgeTouches = (0 until polyLat.length - 1).exists(i =>
+      segmentIntersectsRect(polyLat(i), polyLon(i), polyLat(i + 1), polyLon(i + 1),
+        latMin, lonMin, latMax, lonMax))
+    !edgeTouches &&
+      GeoMath.windingInside((latMin + latMax) / 2, (lonMin + lonMax) / 2, polyLat, polyLon)
+  }
+
   val KmPerDegLat: Double = math.Pi * GeoMath.EarthRadiusKm / 180.0 // ~111.19
 
   /** Height (km) of a cell at `level`; width additionally shrinks by cos(lat). */

@@ -95,6 +95,29 @@ object GeoMath {
   }
 
   /**
+   * Pure winding-number test WITHOUT the reference's edge-bbox short-circuit
+   * — used only for driver-side cell classification ([[Cells]] interior
+   * cells), where the quirk (which can only ADD acceptance near edges) must
+   * not leak into a proof that a whole cell is inside.
+   */
+  def windingInside(pLat: Double, pLon: Double, polyLat: Array[Double], polyLon: Array[Double]): Boolean = {
+    var wn = 0
+    var i = 0
+    val n = math.min(polyLat.length, polyLon.length)
+    while (i < n - 1) {
+      if (polyLat(i) <= pLat) {
+        if (polyLat(i + 1) > pLat &&
+          crossProduct(polyLat(i), polyLon(i), polyLat(i + 1), polyLon(i + 1), pLat, pLon) > 0)
+          wn += 1
+      } else if (polyLat(i + 1) <= pLat &&
+        crossProduct(polyLat(i), polyLon(i), polyLat(i + 1), polyLon(i + 1), pLat, pLon) < 0)
+        wn -= 1
+      i += 1
+    }
+    wn != 0
+  }
+
+  /**
    * Does segment (lat1,lon1)->(lat2,lon2) intersect the circle
    * (centerLat, centerLon, radiusKm)? Local equirectangular projection at
    * the circle center + quadratic discriminant (circle.go:54-96).
@@ -146,13 +169,19 @@ object GeoMath {
     (radToDeg(math.asin(math.max(-1.0, math.min(1.0, u(2))))), radToDeg(math.atan2(u(1), u(0))))
   }
 
-  /** Min haversine distance from point to a polyline of (lat, lon) vertices (searcher.go:437-459). */
+  /** Min haversine distance from point to a way boundary of (lat, lon)
+   *  vertices (pointDistanceToOsmWay, searcher.go:438-460). The reference
+   *  iterates j = (i+1) % len — the boundary is treated as a CLOSED ring
+   *  (the last->first segment is included); reproduced faithfully. For a
+   *  2-vertex boundary the closing segment is the same segment reversed, so
+   *  this also serves as single-segment projection distance. */
   def pointToPolylineKm(pLat: Double, pLon: Double, lats: Array[Double], lons: Array[Double]): Double = {
     if (lats.length == 1) return haversineKm(pLat, pLon, lats(0), lons(0))
     var best = Double.MaxValue
     var i = 0
-    while (i < lats.length - 1) {
-      val (prLat, prLon) = projectPointToSegment(lats(i), lons(i), lats(i + 1), lons(i + 1), pLat, pLon)
+    while (i < lats.length) {
+      val j = (i + 1) % lats.length
+      val (prLat, prLon) = projectPointToSegment(lats(i), lons(i), lats(j), lons(j), pLat, pLon)
       val d = haversineKm(pLat, pLon, prLat, prLon)
       if (d < best) best = d
       i += 1

@@ -198,7 +198,7 @@ object MlQueries {
          |    SUM(e.v * e.v) AS n2, SUM(q.v * q.v) AS qn2
          |  FROM ev e JOIN qv q ON e.pos = q.pos GROUP BY e.vec_id)
          |SELECT vec_id, ${Derived.q6Sql("dot / (sqrt(n2) * sqrt(qn2))")} AS cos6
-         |FROM d ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, vec_id LIMIT 10""".stripMargin,
+         |FROM d ORDER BY cos6 DESC, vec_id LIMIT 10""".stripMargin,
 
     "x1_langid" ->
       s"""SELECT doc_id, ${TextStats.langIdSqlCase("text")} AS lang_pred

@@ -106,8 +106,40 @@ object SpatialQueries {
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"))
         .agg(q4(sum(col("l_quantity"))).as("sum_qty4"), count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // J2b: nearest-STREET enrichment — the reference's GetFullAdress pick
+    // (indexer.go:1004-1022) projects onto the single first->last vertex
+    // segment of each way
+    "j2b_polyline_join" -> ((s, dir) =>
+      Spatial.nearestWayJoin(wayQueries(s, dir), Derived.ways(s, dir),
+          maxKm = 30.0, endpointsOnly = true)
+        .select(col("qid"), col("way_id"), q4(col("dist_km")).as("dist4"))
+        .orderBy(col("qid"))),
+
+    // T1b: reverse-geocode refine — pointDistanceToOsmWay
+    // (searcher.go:438-460): min over the CLOSED ring of way segments
+    "t1b_reverse_refine" -> ((s, dir) =>
+      Spatial.nearestWayJoin(wayQueries(s, dir), Derived.ways(s, dir),
+          maxKm = 30.0, endpointsOnly = false)
+        .select(col("qid"), col("way_id"), q4(col("dist_km")).as("dist4"))
+        .orderBy(col("qid"))),
+
+    // P4/D5: same-name bbox-containment dedup (indexer.go:582-618),
+    // deterministic min-id representative per containment partner set
+    "d5_spatial_dedup" -> ((s, dir) =>
+      graft.ml.Dedup.spatialClusters(
+          Derived.namedBoxes(s, dir).filter(col("id") < DedupMaxId))
+        .orderBy(col("id")))
   )
+
+  val DedupMaxId = 20000L
+
+  /** Shared query-point derivation for the nearest-way joins. */
+  private def wayQueries(s: SparkSession, dir: String): DataFrame =
+    objects(s, dir).filter(col("id") % 731 === 0)
+      .select(col("id").as("qid"), (col("lat") + 0.001).as("qlat"),
+        (col("lon") - 0.0015).as("qlon"))
 
   object Polygons {
     import Spatial.Polygon
@@ -144,6 +176,39 @@ object SpatialQueries {
   }
 
   private val distQ = hav(QLat.toString, QLon.toString, "lat", "lon")
+
+  /** Staged CTEs computing the 3D great-circle segment-projection distance
+   *  (GeoMath.projectPointToSegment + haversine, the reference's
+   *  geo.ProjectPointToLineCoord) from a `pairs` CTE with columns
+   *  (qid, qlat, qlon, way_id, alat, alon, b2lat, b2lon) to
+   *  `projd` (qid, way_id, d). */
+  private val projCtes: String =
+    s"""c1 AS (SELECT qid, qlat, qlon, way_id,
+       |  cos(radians(alat))*cos(radians(alon)) AS ax,
+       |  cos(radians(alat))*sin(radians(alon)) AS ay,
+       |  sin(radians(alat)) AS az,
+       |  cos(radians(b2lat))*cos(radians(b2lon)) AS bxx,
+       |  cos(radians(b2lat))*sin(radians(b2lon)) AS byy,
+       |  sin(radians(b2lat)) AS bzz,
+       |  cos(radians(qlat))*cos(radians(qlon)) AS px,
+       |  cos(radians(qlat))*sin(radians(qlon)) AS py,
+       |  sin(radians(qlat)) AS pz
+       |  FROM pairs),
+       |c2 AS (SELECT *, bxx-ax AS abx, byy-ay AS aby, bzz-az AS abz FROM c1),
+       |c3 AS (SELECT *, (abx*abx+aby*aby+abz*abz) AS dd,
+       |  ((px-ax)*abx+(py-ay)*aby+(pz-az)*abz) AS dp FROM c2),
+       |c4 AS (SELECT *, CASE WHEN dd = 0 THEN 0.0
+       |  ELSE greatest(0.0, least(1.0, dp/dd)) END AS t FROM c3),
+       |c5 AS (SELECT *, ax+t*abx AS jx, ay+t*aby AS jy, az+t*abz AS jz FROM c4),
+       |c6 AS (SELECT *, sqrt(jx*jx+jy*jy+jz*jz) AS nrm FROM c5),
+       |c7 AS (SELECT qid, qlat, qlon, way_id,
+       |  degrees(asin(least(1.0, greatest(-1.0, jz/nrm)))) AS plat2,
+       |  degrees(atan2(jy, jx)) AS plon2 FROM c6),
+       |projd AS (SELECT qid, way_id, ${hav("qlat", "qlon", "plat2", "plon2")} AS d FROM c7)""".stripMargin
+
+  private val wayQueriesSqlCte: String =
+    "q AS (SELECT id AS qid, lat + 0.001 AS qlat, lon - 0.0015 AS qlon " +
+      "FROM objects WHERE id % 731 = 0)"
 
   val oracles: Map[String, String] = Map(
     "t2_knn" ->
@@ -258,6 +323,55 @@ object SpatialQueries {
 
     "q1_agg" ->
       s"""SELECT l_returnflag, ${q4Sql("sum(l_quantity)")} AS sum_qty4, COUNT(*) AS n
-         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "j2b_polyline_join" ->
+      s"""WITH ${Derived.objectsSqlCte},
+         |${Derived.waysSqlCte},
+         |$wayQueriesSqlCte,
+         |pairs AS (SELECT q.qid, q.qlat, q.qlon, w.way_id,
+         |  w.blat AS alat, w.blon AS alon,
+         |  w.blat + ${Derived.WayVerts - 1}*w.dlat AS b2lat,
+         |  w.blon + ${Derived.WayVerts - 1}*w.dlon AS b2lon
+         |  FROM q CROSS JOIN ways w),
+         |$projCtes,
+         |ranked AS (SELECT qid, way_id, d,
+         |  row_number() OVER (PARTITION BY qid ORDER BY d, way_id) AS rn
+         |  FROM projd WHERE d <= 30.0)
+         |SELECT qid, way_id, ${q4Sql("d")} AS dist4 FROM ranked WHERE rn = 1
+         |ORDER BY qid""".stripMargin,
+
+    "t1b_reverse_refine" ->
+      s"""WITH ${Derived.objectsSqlCte},
+         |${Derived.waysSqlCte},
+         |$wayQueriesSqlCte,
+         |verts AS (SELECT way_id, t.i AS i,
+         |  blat + t.i*dlat AS vlat, blon + t.i*dlon AS vlon
+         |  FROM ways CROSS JOIN (SELECT unnest(range(${Derived.WayVerts})) AS i) t),
+         |segs AS (SELECT a.way_id, a.vlat AS alat, a.vlon AS alon,
+         |  b.vlat AS b2lat, b.vlon AS b2lon
+         |  FROM verts a JOIN verts b
+         |    ON a.way_id = b.way_id AND b.i = (a.i + 1) % ${Derived.WayVerts}),
+         |pairs AS (SELECT q.qid, q.qlat, q.qlon, s.way_id,
+         |  s.alat, s.alon, s.b2lat, s.b2lon
+         |  FROM q CROSS JOIN segs s),
+         |$projCtes,
+         |perway AS (SELECT qid, way_id, MIN(d) AS d FROM projd GROUP BY 1, 2),
+         |ranked AS (SELECT qid, way_id, d,
+         |  row_number() OVER (PARTITION BY qid ORDER BY d, way_id) AS rn
+         |  FROM perway WHERE d <= 30.0)
+         |SELECT qid, way_id, ${q4Sql("d")} AS dist4 FROM ranked WHERE rn = 1
+         |ORDER BY qid""".stripMargin,
+
+    "d5_spatial_dedup" ->
+      s"""WITH ${Derived.namedBoxesSqlCte},
+         |f AS (SELECT * FROM named_boxes WHERE id < $DedupMaxId)
+         |SELECT a.id, MIN(b.id) AS keep_id
+         |FROM f a JOIN f b ON a.name = b.name AND (
+         |  (b.lat_min <= a.lat_min AND b.lat_max >= a.lat_max AND
+         |   b.lon_min <= a.lon_min AND b.lon_max >= a.lon_max) OR
+         |  (a.lat_min <= b.lat_min AND a.lat_max >= b.lat_max AND
+         |   a.lon_min <= b.lon_min AND a.lon_max >= b.lon_max))
+         |GROUP BY a.id ORDER BY a.id""".stripMargin
   )
 }

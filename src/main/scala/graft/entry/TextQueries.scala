@@ -24,8 +24,25 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/documents.parquet")
+
+  // The index is a PERSISTED pipeline stage, not something rebuilt per
+  // query (the reference server builds once at startup, serves thereafter —
+  // indexer.go:672-768). Memoizing per (session, dir) gives every text
+  // query the built/cached postings tables, so measured query times are
+  // query cost, not index-build cost. Keyed on the session so a stopped
+  // session's cached plans are never reused.
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), SearchIndex]
   private def index(s: SparkSession, dir: String) =
-    new SearchIndex(docs(s, dir), "doc_id", "text", "source")
+    indexCache.getOrElseUpdate((s, dir),
+      new SearchIndex(docs(s, dir), "doc_id", "text", "source"))
+
+  private val searcherCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.query.Searcher]
+  private def searcher(s: SparkSession, dir: String) =
+    searcherCache.getOrElseUpdate((s, dir),
+      new graft.query.Searcher(docs(s, dir), "doc_id", "text", "source",
+        spellErrorLines = Seq("spark: spqrk, sprak")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A5: inverted postings with build-time tf (indexer.go:672-768)
@@ -132,12 +149,19 @@ object TextQueries {
     // QTerms, so the oracle is t5's SQL — the whole chain (candidate gen,
     // LM+noisy ranking, BM25F, top-k, hydration) is verified row-for-row
     "t7_freeform" -> ((s, dir) => {
-      val searcher = new graft.query.Searcher(
-        docs(s, dir), "doc_id", "text", "source",
-        spellErrorLines = Seq("spark: spqrk, sprak"))
-      searcher.freeFormQuery(s"$Typo join src3", k = 10)
+      searcher(s, dir).freeFormQuery(s"$Typo join src3", k = 10)
         .select(col("doc_id"), q6(col("score")).as("score6"), col("lang"), col("n_chars"))
         .orderBy(desc("score6"), col("doc_id"))
+    }),
+
+    // SO4: PARSED boolean expression — shunting-yard + RPN evaluation
+    // (boolean_query.go:43-148) over the postings table. With the
+    // reference precedences NOT(3) > AND(2) > OR(1) the expression below
+    // evaluates as spark AND ((join OR vector) NOT window)
+    "so4_boolean_expr" -> ((s, dir) => {
+      val p = TextIndex.postings(docs(s, dir), "doc_id", "text")
+      graft.query.BooleanQuery.eval(p, "spark AND (join OR vector) NOT window")
+        .orderBy(col("doc_id"))
     }),
 
     // SO-extra: OR/NOT — declared but unimplemented in the reference
@@ -292,7 +316,8 @@ object TextQueries {
 
     "t6_autocomplete" ->
       s"""WITH $baseCtes,
-         |v AS (SELECT term, COUNT(*) AS freq FROM tn GROUP BY term),
+         |v AS (SELECT term, COUNT(*) AS freq FROM (
+         |  SELECT term FROM tn UNION ALL SELECT term FROM ta) GROUP BY term),
          |cand AS (SELECT term AS cterm FROM v WHERE term LIKE 'jo%'
          |         ORDER BY freq DESC, term LIMIT 3),
          |qc AS (SELECT cterm, unnest(['spark', cterm]) AS term FROM cand),
@@ -369,6 +394,14 @@ object TextQueries {
       s"""WITH tn AS (SELECT doc_id, unnest(${T("text")}) AS term FROM documents)
          |SELECT DISTINCT doc_id FROM tn WHERE term = 'spark'
          |INTERSECT SELECT DISTINCT doc_id FROM tn WHERE term = 'vector'
+         |ORDER BY doc_id""".stripMargin,
+
+    "so4_boolean_expr" ->
+      s"""WITH tn AS (SELECT doc_id, unnest(${T("text")}) AS term FROM documents)
+         |SELECT doc_id FROM (
+         |  (SELECT DISTINCT doc_id FROM tn WHERE term IN ('join', 'vector')
+         |   EXCEPT SELECT DISTINCT doc_id FROM tn WHERE term = 'window')
+         |  INTERSECT SELECT DISTINCT doc_id FROM tn WHERE term = 'spark')
          |ORDER BY doc_id""".stripMargin,
 
     "so2_or_not" ->

@@ -47,20 +47,55 @@ case class CellDiskExpr(left: Expression, right: Expression)
 }
 
 /**
+ * Static eval targets for generated code: identical semantics to
+ * [[graft.core.GeoMath]] but reading catalyst [[ArrayData]] in place —
+ * the per-row `toDoubleArray()` copies were the dominant allocation of the
+ * PIP refine (two arrays per row over every cover-matched row).
+ */
+object GeoEval {
+  /** Zero-copy twin of [[GeoMath.isPointInPolygon]] (same bbox quirk). */
+  def pointInPolygon(pLat: Double, pLon: Double, lats: ArrayData, lons: ArrayData): Boolean = {
+    var wn = 0
+    val n = math.min(lats.numElements(), lons.numElements())
+    var i = 0
+    while (i < n - 1) {
+      val aLat = lats.getDouble(i); val aLon = lons.getDouble(i)
+      val bLat = lats.getDouble(i + 1); val bLon = lons.getDouble(i + 1)
+      if (pLon >= math.min(aLon, bLon) && pLon <= math.max(aLon, bLon) &&
+          pLat >= math.min(aLat, bLat) && pLat <= math.max(aLat, bLat)) return true
+      if (aLat <= pLat) {
+        if (bLat > pLat &&
+          ((bLon - aLon) * (pLat - aLat)) - ((pLon - aLon) * (bLat - aLat)) > 0) wn += 1
+      } else if (bLat <= pLat &&
+        ((bLon - aLon) * (pLat - aLat)) - ((pLon - aLon) * (bLat - aLat)) < 0) wn -= 1
+      i += 1
+    }
+    wn != 0
+  }
+
+  def pointToPolylineKm(pLat: Double, pLon: Double, lats: ArrayData, lons: ArrayData): Double =
+    GeoMath.pointToPolylineKm(pLat, pLon, lats.toDoubleArray(), lons.toDoubleArray())
+}
+
+/**
  * Winding-number point-in-polygon (reference geometry.go:104-126) as a
  * Catalyst expression over (lat, lon, polyLats ARRAY<DOUBLE>, polyLons
  * ARRAY<DOUBLE>). Used as the exact refine after the cell-cover prefilter.
+ * Generates a static call into [[GeoEval]] so the refine stays inside
+ * whole-stage codegen with no per-row array copies.
  */
 case class PointInPolygonExpr(first: Expression, second: Expression,
                               third: Expression, fourth: Expression)
-    extends QuaternaryExpression with CodegenFallback {
+    extends QuaternaryExpression {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "point_in_polygon"
   override def nullSafeEval(lat: Any, lon: Any, lats: Any, lons: Any): Any =
-    GeoMath.isPointInPolygon(
+    GeoEval.pointInPolygon(
       lat.asInstanceOf[Double], lon.asInstanceOf[Double],
-      lats.asInstanceOf[ArrayData].toDoubleArray(),
-      lons.asInstanceOf[ArrayData].toDoubleArray())
+      lats.asInstanceOf[ArrayData], lons.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, lon, lats, lons) =>
+      s"graft.functions.GeoEval.pointInPolygon($lat, $lon, $lats, $lons)")
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
                                                  c: Expression, d: Expression): Expression =
     copy(first = a, second = b, third = c, fourth = d)
@@ -70,14 +105,16 @@ case class PointInPolygonExpr(first: Expression, second: Expression,
  *  (reference searcher.go:437-459). */
 case class PointToPolylineKmExpr(first: Expression, second: Expression,
                                  third: Expression, fourth: Expression)
-    extends QuaternaryExpression with CodegenFallback {
+    extends QuaternaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "point_to_polyline_km"
   override def nullSafeEval(lat: Any, lon: Any, lats: Any, lons: Any): Any =
-    GeoMath.pointToPolylineKm(
+    GeoEval.pointToPolylineKm(
       lat.asInstanceOf[Double], lon.asInstanceOf[Double],
-      lats.asInstanceOf[ArrayData].toDoubleArray(),
-      lons.asInstanceOf[ArrayData].toDoubleArray())
+      lats.asInstanceOf[ArrayData], lons.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, lon, lats, lons) =>
+      s"graft.functions.GeoEval.pointToPolylineKm($lat, $lon, $lats, $lons)")
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
                                                  c: Expression, d: Expression): Expression =
     copy(first = a, second = b, third = c, fourth = d)

@@ -34,14 +34,16 @@ object Ann {
   }
 
   /** Exact cosine top-k against a literal query vector.
-   *  Output: (vec_id, cos6) ordered desc, quantized 1e-6. */
+   *  Output: (vec_id, cos6) ordered desc, quantized 1e-6. Ranking is by the
+   *  QUANTIZED value (+ id tie-break) so near-ties below the quantum cannot
+   *  reorder across the LIMIT boundary between engines. */
   def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                  query: Seq[Double], k: Int): DataFrame =
     embeddings.select(col(idCol).as("vec_id"),
         cosineLit(col(vecCol).cast("array<double>"), query).as("cos"))
-      .orderBy(desc("cos"), col("vec_id"))
-      .limit(k)
       .select(col("vec_id"), round(col("cos") * 1000000).cast("long").as("cos6"))
+      .orderBy(desc("cos6"), col("vec_id"))
+      .limit(k)
 
   /** Deterministic hyperplane component h(j, d): integer-arithmetic pseudo-
    *  random in [-1, 1), no floating RNG (reproducible across engines). */
@@ -75,9 +77,9 @@ object Ann {
     val probes = qSig +: (0 until nBits).map(j => qSig ^ (1L << j))
     bucketed.filter(col("bucket").isin(probes.map(java.lang.Long.valueOf): _*))
       .select(col("vec_id"), cosineLit(col("vec"), query).as("cos"))
-      .orderBy(desc("cos"), col("vec_id"))
-      .limit(k)
       .select(col("vec_id"), round(col("cos") * 1000000).cast("long").as("cos6"))
+      .orderBy(desc("cos6"), col("vec_id"))
+      .limit(k)
   }
 
   // ---- IVF (inverted-file index) — the second standard ANN scale path ----
@@ -152,9 +154,9 @@ object Ann {
       .sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1)
     assigned.filter(col("list").isin(probes.map(Integer.valueOf).toSeq: _*))
       .select(col("vec_id"), cosineLit(col("vec"), query).as("cos"))
-      .orderBy(desc("cos"), col("vec_id"))
-      .limit(k)
       .select(col("vec_id"), round(col("cos") * 1000000).cast("long").as("cos6"))
+      .orderBy(desc("cos6"), col("vec_id"))
+      .limit(k)
   }
 
   /** Near-duplicate pairs by cosine >= threshold, LSH-bucketed self-join

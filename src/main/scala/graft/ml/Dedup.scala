@@ -31,6 +31,40 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
+  /**
+   * Same-name bbox-containment dedup — the reference's actual P4 semantics
+   * (isWayDuplicateCheck / isNodeDuplicateCheck,
+   * /root/reference/pkg/index/indexer.go:582-618): an object is a duplicate
+   * of a same-name object whose bounding box contains it, or which it
+   * contains (contain || inverseContain, indexer.go:594-604). The reference
+   * dedups in ARRIVAL order against a growing name->bbox map — order-
+   * dependent and non-distributable; the deterministic re-expression keeps,
+   * per object, the SMALLEST id among its same-name containment partners
+   * (itself included), so keep_id == id marks cluster representatives.
+   *
+   * Input columns: id, name, lat_min, lat_max, lon_min, lon_max.
+   * Output: (id, keep_id), one row per input object.
+   *
+   * Scale: one shuffle on `name`; the per-name candidate set is the
+   * real-world bound (street-name multiplicity). A skewed name can reuse
+   * graft.pipeline.Skew salting; a bbox-prefix (cell of the bbox center)
+   * can be appended to the join key to shrink giant name groups.
+   */
+  def spatialClusters(objs: DataFrame): DataFrame = {
+    val cols = Seq("id", "name", "lat_min", "lat_max", "lon_min", "lon_max")
+    val a = objs.select(cols.map(c => col(c).as(s"a_$c")): _*)
+    val b = objs.select(cols.map(c => col(c).as(s"b_$c")): _*)
+    def contains(p: String, o: String): Column =
+      col(s"${p}_lat_min") <= col(s"${o}_lat_min") &&
+        col(s"${p}_lat_max") >= col(s"${o}_lat_max") &&
+        col(s"${p}_lon_min") <= col(s"${o}_lon_min") &&
+        col(s"${p}_lon_max") >= col(s"${o}_lon_max")
+    a.join(b, col("a_name") === col("b_name"))
+      .filter(contains("b", "a") || contains("a", "b"))
+      .groupBy(col("a_id").as("id"))
+      .agg(min(col("b_id")).as("keep_id"))
+  }
+
   /** (doc_id, shingle) exploded pairs. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
@@ -110,20 +144,27 @@ object Dedup {
   }
 
   /** SimHash 64-bit signature per doc over its token multiset. Token hash =
-   *  xxhash64 (Spark built-in); bit b contributes +tf/-tf by hash bit. */
+   *  xxhash64 (Spark built-in); bit b contributes +tf/-tf by hash bit.
+   *
+   *  One shuffle, no row explosion: summing the per-DISTINCT-term
+   *  contribution ±tf_t over terms equals summing ±1 over raw token
+   *  OCCURRENCES, so the signature is a single groupBy(doc_id) with 64
+   *  conditional sums (map-side combine compacts each partition to one row
+   *  per doc). The previous explode(sequence(0,63)) shape multiplied every
+   *  (doc, term) row by 64 and shuffled twice — measured 14 s at sf0.1 vs
+   *  ~1 s for this plan. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val terms = docs.select(col(idCol).as("doc_id"),
+    val toks = docs.select(col(idCol).as("doc_id"),
         explode(graft.sources.Derived.tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("th", xxhash64(col("term")))
-    val bits = terms.select(col("doc_id"),
-      explode(expr("transform(sequence(0, 63), b -> struct(b as b, " +
-        "CASE WHEN (shiftright(th, b) & 1) = 1 THEN tf ELSE -tf END as contrib))")).as("x"))
-      .select(col("doc_id"), col("x.b").as("b"), col("x.contrib").as("contrib"))
-    bits.groupBy("doc_id", "b").agg(sum("contrib").as("s"))
-      .withColumn("bit", when(col("s") > 0, lit(1L)).otherwise(lit(0L)))
-      .withColumn("v", expr("shiftleft(bit, CAST(b AS INT))"))
-      .groupBy("doc_id").agg(sum(col("v")).as("simhash"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"s$b"))
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
   }
 
   /** SimHash near-dup candidates: any equal 16-bit band (pigeonhole-exact

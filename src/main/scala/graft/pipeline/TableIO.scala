@@ -64,8 +64,15 @@ object TableIO {
       .collect()
       .map { r =>
         // keep the partition directory (e.g. bucket=7/part-...) so lineage
-        // identifies the physical partition, not just a basename
-        val rel = r.getString(0).split("/").dropWhile(_ != name).drop(1).mkString("/")
+        // identifies the physical partition, not just a basename. Strip the
+        // known stage-directory prefix from the URI — scanning for a path
+        // component equal to `name` would break when an ancestor directory
+        // shares the stage name or when the name never appears verbatim.
+        val uri = r.getString(0)
+        val marker = s"/$name/"
+        val idx = uri.lastIndexOf(marker)
+        val rel = if (idx >= 0) uri.substring(idx + marker.length)
+          else uri.split("/").last
         (rel, r.getLong(1))
       }.sortBy(_._1)
     val totalRows = perFile.map(_._2).sum

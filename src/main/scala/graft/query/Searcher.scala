@@ -40,6 +40,20 @@ class Searcher(docs: DataFrame, idCol: String, nameCol: String, addrCol: String,
   }
   private def termId(t: String): Long = termIdMap.getOrElse(t, NGramLM.UnkId)
 
+  /** Terms the LM keeps: corpus frequency >= COUNT_THRESOLD_NGRAM over the
+   *  name++address token stream. The reference ALWAYS builds (and queries)
+   *  its LM over the UNK-thresholded corpus (ngram_lm.go:69-110); words
+   *  below the threshold are <UNK> on both the build and the query path.
+   *  vocabulary.freq IS that corpus frequency (sum of tf over both fields),
+   *  so no extra distributed pass is needed. */
+  private val lmKeep: Set[String] = index.vocabulary
+    .filter(col("freq") >= NGramLM.CountThreshold)
+    .select("term").collect().map(_.getString(0)).toSet
+
+  /** Query-side LM id: hapax words map to <UNK>, like the build side. */
+  private def lmTermId(t: String): Long =
+    if (lmKeep.contains(t)) termId(t) else NGramLM.UnkId
+
   private val lm: NGramLM.Model = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -47,7 +61,11 @@ class Searcher(docs: DataFrame, idCol: String, nameCol: String, addrCol: String,
     // (and its DataFrames) and fail task serialization
     val tid = termIdMap
     val unk = NGramLM.UnkId
-    val toIds = udf((ts: Seq[String]) => ts.map(t => tid.getOrElse(t, unk)))
+    val keep = lmKeep
+    // UNK thresholding applied AT the id mapping (equivalent to
+    // NGramLM.replaceOOV over the id stream, without the extra pass)
+    val toIds = udf((ts: Seq[String]) =>
+      ts.map(t => if (keep.contains(t)) tid.getOrElse(t, unk) else unk))
     val termDocs = docs
       .select(graft.sources.Derived.tokens(
         concat_ws(" ", col(nameCol), col(addrCol))).as("toks"))
@@ -71,7 +89,7 @@ class Searcher(docs: DataFrame, idCol: String, nameCol: String, addrCol: String,
       }
     }
     val candidates = SpellCorrector.queryCandidates(perToken)
-    SpellCorrector.rankCandidates(candidates, tokens, lm, termId, noisy, 1).head
+    SpellCorrector.rankCandidates(candidates, tokens, lm, lmTermId, noisy, 1).head
   }
 
   /** /api/search composed end-to-end. */
@@ -94,7 +112,7 @@ class Searcher(docs: DataFrame, idCol: String, nameCol: String, addrCol: String,
     val candidateQueries =
       if (completions.isEmpty) Seq(tokens)
       else completions.map(c => tokens.init :+ c)
-    val top3 = SpellCorrector.rankCandidates(candidateQueries, tokens, lm, termId, noisy, 3)
+    val top3 = SpellCorrector.rankCandidates(candidateQueries, tokens, lm, lmTermId, noisy, 3)
     val scored = top3.map(index.bm25f).reduce(_ unionByName _)
       .groupBy("doc_id").agg(max("score").as("score"))
     val ranked = scored.orderBy(desc("score"), col("doc_id"))

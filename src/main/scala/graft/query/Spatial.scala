@@ -87,38 +87,74 @@ object Spatial {
   }
 
   /**
+   * Effective (level, radius) for a disk of Chebyshev radius `r` at `level`:
+   * coarsen one level per halving until the radius is <= 2, so a search disk
+   * is at most 25 cells no matter how wide it has grown. Covering is
+   * preserved because parent grid coords are child coords >> 1, so
+   * |x1-x2| <= r implies |x1>>1 - x2>>1| <= ceil(r/2).
+   */
+  private[query] def effectiveDisk(level: Int, r: Int): (Int, Int) = {
+    var lvl = level; var rad = r
+    while (rad > 2 && lvl > 1) { lvl -= 1; rad = (rad + 1) / 2 }
+    (lvl, rad)
+  }
+
+  /**
    * Batch kNN join: for EVERY query row (qid, qlat, qlon) find its k nearest
-   * points. One shuffle on `cell`; per-query convergence is checked with the
-   * same lower bound and unconverged queries are retried with a wider disk
-   * (driver rounds over the shrinking unconverged subset — at most
-   * log(maxR) rounds).
+   * points. One shuffle-free broadcast join per round; per-query convergence
+   * is checked against the ring lower bound and unconverged queries retry
+   * with a wider disk.
+   *
+   * Scale shape (two jobs per round, no driver loops over data):
+   *  - the search disk is held to <= 25 cells by coarsening the cell LEVEL
+   *    instead of growing the radius ([[effectiveDisk]]) — the broadcast
+   *    build side is bounded by 25 x |pending| rows forever, round count by
+   *    log2(grid), regardless of how far the nearest neighbour is;
+   *  - per-round candidates are compacted map-side by the bounded top-k
+   *    aggregate (graft.functions.TopK ships <= k rows per query per task);
+   *  - convergence bookkeeping (kth distance vs bound) is ONE row per
+   *    pending query, collected from the round's checkpoint — the query
+   *    side is broadcast-scale by contract (the reference holds the query
+   *    batch in server RAM, searcher.go:97-204), so this collect is the
+   *    same order as the broadcast the join already does. Queries with zero
+   *    candidates this round stay pending by set subtraction (they never
+   *    reach the flags table in a join-based scheme).
    */
   def knnJoin(points: DataFrame, queries: DataFrame, k: Int,
               level: Int = Cells.DefaultLevel, initialR: Int = 1,
-              maxRounds: Int = 8): DataFrame = {
+              maxRounds: Int = 16): DataFrame = {
     val spark = points.sparkSession
     // materialize the (small, by contract) query side once — it may derive
     // from a full scan of the point table, and each round references it
-    // several times (broadcast build + semi-join narrowing)
-    var pending = queries.select(col("qid"), col("qlat"), col("qlon"))
+    val qck = queries.select(col("qid"), col("qlat"), col("qlon"))
       .localCheckpoint(eager = true)
+    val allIds: Array[Any] = qck.select("qid").collect().map(_.get(0))
+    var pendingIds: Array[Any] = allIds
     var acc: Option[DataFrame] = None
     var r = initialR
     var round = 0
     val debug = spark.conf.getOption("spark.graft.knn.debug").contains("true")
-    while (round < maxRounds && !pending.isEmpty) {
-      if (debug) println(s"knnJoin round=$round r=$r pending=${pending.count()}")
+    while (round < maxRounds && pendingIds.nonEmpty) {
+      val (lvl, rad) = effectiveDisk(level, r)
+      // disk(lvl, 2) at lvl <= 1 is the whole grid: every point is a
+      // candidate, the round is exact by construction
+      val fullCover = lvl <= 1 && rad >= 2
+      if (debug) println(s"knnJoin round=$round r=$r lvl=$lvl rad=$rad pending=${pendingIds.length}")
+      val pending =
+        if (pendingIds.length == allIds.length) qck
+        else qck.filter(col("qid").isin(pendingIds: _*))
       val qCells = pending
-        .withColumn("qcell", cellEncode(col("qlat"), col("qlon"), lit(level)))
-        .withColumn("cell", explode(cellDisk(col("qcell"), lit(r))))
+        .withColumn("qcell", cellEncode(col("qlat"), col("qlon"), lit(lvl)))
+        .withColumn("jcell", explode(cellDisk(col("qcell"), lit(rad))))
+        .drop("qcell")
+      val pcell = if (lvl == level) col("cell") else cellEncode(col("lat"), col("lon"), lit(lvl))
       // the query side is small relative to the point table: broadcast it
-      val joined = points.join(broadcast(qCells), Seq("cell"))
+      val joined = points.withColumn("jcell", pcell).join(broadcast(qCells), Seq("jcell"))
         .withColumn("dist_km", haversineKm(col("qlat"), col("qlon"), col("lat"), col("lon")))
       // bounded top-k aggregate (map-side combine): each map task ships at
       // most k rows per query instead of every candidate in the cell disk —
-      // see graft.functions.TopK. Materialized ONCE per round (≤ k rows per
-      // pending query); the flags/done/pending splits below would otherwise
-      // re-execute the whole join subtree three times.
+      // see graft.functions.TopK. Materialized ONCE per round (<= k rows per
+      // pending query); everything downstream reads the checkpoint.
       val topk = joined
         .groupBy(col("qid"), col("qlat"), col("qlon"))
         .agg(graft.functions.TopK.topKByDist(k)(col("dist_km"), col("id")).as("nn"))
@@ -127,21 +163,25 @@ object Spatial {
           col("col._2").as("id"), col("col._1").as("dist_km"),
           (col("pos") + 1).cast("int").as("rn"))
         .localCheckpoint(eager = true)
-      // convergence: kth distance within the provable bound for this r
-      val perQ = topk.groupBy(col("qid"), col("qlat"), col("qlon"))
-        .agg(max(col("dist_km")).as("kth"), count(lit(1)).as("cnt"))
-      val boundUdf = udf((qlat: Double, qlon: Double) =>
-        Cells.minDistOutsideDiskKm(qlat, qlon, level, r))
-      val flags = perQ.withColumn("ok",
-        col("cnt") >= k && col("kth") <= boundUdf(col("qlat"), col("qlon")))
-      val okIds = flags.filter(col("ok")).select("qid")
-      val done = topk.join(broadcast(okIds), Seq("qid"), "left_semi")
-        .select(col("qid"), col("id"), col("dist_km"), col("rn"))
-      // topk is already checkpointed, so the accumulated union stays flat
-      acc = Some(acc.map(_.unionByName(done)).getOrElse(done))
-      pending = pending.join(broadcast(flags.filter(!col("ok")).select("qid")),
-          Seq("qid"), "left_semi")
-        .localCheckpoint(eager = true)
+      // convergence: kth distance within the provable bound for this (lvl, rad)
+      val perQ = topk.groupBy(col("qid"))
+        .agg(max(col("dist_km")).as("kth"), count(lit(1)).as("cnt"),
+          first(col("qlat")).as("qlat"), first(col("qlon")).as("qlon"))
+        .collect()
+      val okIds: Set[Any] = perQ.iterator.filter { row =>
+        fullCover || (row.getAs[Long]("cnt") >= k &&
+          row.getAs[Double]("kth") <= Cells.minDistOutsideDiskKm(
+            row.getAs[Double]("qlat"), row.getAs[Double]("qlon"), lvl, rad))
+      }.map(_.get(0)).toSet
+      if (okIds.nonEmpty) {
+        val done = topk.filter(col("qid").isin(okIds.toSeq: _*))
+          .select(col("qid"), col("id"), col("dist_km"), col("rn"))
+        // topk is already checkpointed, so the accumulated union stays flat
+        acc = Some(acc.map(_.unionByName(done)).getOrElse(done))
+      }
+      pendingIds =
+        if (fullCover) Array.empty // queries with zero rows have no data at all
+        else pendingIds.filterNot(okIds)
       r *= 2
       round += 1
     }
@@ -166,18 +206,24 @@ object Spatial {
    */
   def nearestJoin(left: DataFrame, right: DataFrame, maxKm: Double,
                   level: Int = Cells.DefaultLevel): DataFrame = {
-    // ring radius that guarantees covering maxKm at this level anywhere in
-    // the data's latitude band
+    // Join LEVEL adapted to maxKm: coarsen until a radius<=2 disk covers
+    // maxKm anywhere in the data's latitude band (widened by maxKm — right
+    // points may sit outside the left band). Keeps the left-side explosion
+    // at <=25 rows regardless of maxKm; at a fixed fine level a 30 km radius
+    // would need r=13 -> 729 exploded rows per left row (measured 19 s at
+    // sf0.1 before this fix).
     val l = left.select(min(col("lat")), max(col("lat"))).head()
-    val maxAbsLat = math.max(math.abs(l.getDouble(0)), math.abs(l.getDouble(1)))
-    val wKm = Cells.cellWidthKm(maxAbsLat, level)
-    val hKm = Cells.cellHeightKm(level)
-    val r = math.max(1, math.ceil(maxKm / math.min(wKm, hKm)).toInt)
-    val lhs = left.select(col("id").as("lid"), col("lat").as("llat"), col("lon").as("llon"),
-        col("cell"))
-      .withColumn("jcell", explode(cellDisk(col("cell"), lit(r))))
+    val bandLat = math.min(89.9,
+      math.max(math.abs(l.getDouble(0)), math.abs(l.getDouble(1))) + maxKm / Cells.KmPerDegLat)
+    def radAt(lv: Int): Int = math.max(1, math.ceil(maxKm /
+      math.min(Cells.cellWidthKm(bandLat, lv), Cells.cellHeightKm(lv))).toInt)
+    var lvl = level
+    while (radAt(lvl) > 2 && lvl > 1) lvl -= 1
+    val r = radAt(lvl)
+    val lhs = left.select(col("id").as("lid"), col("lat").as("llat"), col("lon").as("llon"))
+      .withColumn("jcell", explode(cellDisk(cellEncode(col("llat"), col("llon"), lit(lvl)), lit(r))))
     val rhs = right.select(col("id").as("rid"), col("lat").as("rlat"), col("lon").as("rlon"),
-      col("cell").as("jcell"))
+      cellEncode(col("lat"), col("lon"), lit(lvl)).as("jcell"))
     lhs.join(rhs, Seq("jcell"))
       .withColumn("dist_km", haversineKm(col("llat"), col("llon"), col("rlat"), col("rlon")))
       .filter(col("dist_km") <= maxKm)
@@ -195,13 +241,20 @@ object Spatial {
               level: Int = Cells.DefaultLevel): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
+    // classify cover cells driver-side: interior cells (no polygon edge
+    // touches the cell, center winding-inside) are all-accepted and skip the
+    // per-row refine; only the O(perimeter) boundary cells pay it. The
+    // polygon ring is denormalized onto its cover rows so the probe side
+    // pays ONE broadcast join (cover tables are thousands of rows; a second
+    // broadcast+join per polygon attribute is pure fixed cost)
     val cover = polygons.flatMap(p =>
-      Cells.coverPolygon(p.lats, p.lons, level).map(c => (c, p.id))).toDF("cell", "poly_id")
-    val polys = polygons.map(p => (p.id, p.name, p.lats.toSeq, p.lons.toSeq))
-      .toDF("poly_id", "poly_name", "plats", "plons")
+      Cells.coverPolygon(p.lats, p.lons, level).map(c =>
+        (c, p.id, p.name, Cells.cellInteriorOfPolygon(c, p.lats, p.lons),
+          p.lats.toSeq, p.lons.toSeq)))
+      .toDF("cell", "poly_id", "poly_name", "interior", "plats", "plons")
     points.join(broadcast(cover), Seq("cell"))
-      .join(broadcast(polys), Seq("poly_id"))
-      .filter(pointInPolygon(col("lat"), col("lon"), col("plats"), col("plons")))
+      .filter(col("interior") ||
+        pointInPolygon(col("lat"), col("lon"), col("plats"), col("plons")))
       .select(col("id"), col("poly_id"), col("poly_name"))
   }
 
@@ -214,4 +267,66 @@ object Spatial {
     knnJoin(points, queries, k = 1, level = level)
       .filter(col("dist_km") <= capKm)
       .select(col("qid"), col("id"), col("dist_km"))
+
+  /**
+   * Nearest-way enrichment join: for every query row (qid, qlat, qlon), the
+   * way (way_id, wlats, wlons) minimizing the projection distance, within
+   * `maxKm`. Refine semantics follow the reference exactly:
+   *  - `endpointsOnly = true`: the nearest-street pick of GetFullAdress
+   *    (indexer.go:1004-1022) projects onto the SINGLE first->last vertex
+   *    segment;
+   *  - `endpointsOnly = false`: ReverseGeocoding's pointDistanceToOsmWay
+   *    (searcher.go:438-460) takes the min over the CLOSED ring of boundary
+   *    segments.
+   *
+   * Plan shape: ways are anchored at their first vertex and covered with
+   * disk(rad) cells at a level adapted so rad <= 2 ([[effectiveDisk]]-style
+   * coarsening; cover radius = maxKm + the longest vertex span, since any
+   * boundary point lies within that span of the anchor). The query side
+   * joins on its single exact cell and is broadcast; candidates then pay
+   * the exact projection refine ([[graft.functions.GeoFunctions
+   * .pointToPolylineKm]], codegen'd) and min_by picks the winner.
+   */
+  def nearestWayJoin(queries: DataFrame, ways: DataFrame, maxKm: Double,
+                     level: Int = Cells.DefaultLevel,
+                     endpointsOnly: Boolean = false): DataFrame = {
+    val anchorLat = element_at(col("wlats"), 1)
+    val anchorLon = element_at(col("wlons"), 1)
+    // longest anchor->vertex span + ways' latitude band: one tiny agg
+    val span = aggregate(
+      zip_with(col("wlats"), col("wlons"),
+        (la, lo) => haversineKm(anchorLat, anchorLon, la, lo)),
+      lit(0.0), (acc, x) => greatest(acc, x))
+    val stats = ways.agg(max(span), min(anchorLat), max(anchorLat)).head()
+    val spanKm = stats.getDouble(0)
+    val coverKm = maxKm + spanKm
+    val bandLat = math.min(89.9,
+      math.max(math.abs(stats.getDouble(1)), math.abs(stats.getDouble(2))) +
+        coverKm / Cells.KmPerDegLat)
+    def radAt(lv: Int): Int = math.max(1, math.ceil(coverKm /
+      math.min(Cells.cellWidthKm(bandLat, lv), Cells.cellHeightKm(lv))).toInt)
+    var lvl = level
+    while (radAt(lvl) > 2 && lvl > 1) lvl -= 1
+    val rad = radAt(lvl)
+
+    val rhs = ways
+      .withColumn("jcell",
+        explode(cellDisk(cellEncode(anchorLat, anchorLon, lit(lvl)), lit(rad))))
+    val lhs = queries
+      .select(col("qid"), col("qlat"), col("qlon"),
+        cellEncode(col("qlat"), col("qlon"), lit(lvl)).as("jcell"))
+    val refLats =
+      if (endpointsOnly) array(element_at(col("wlats"), 1), element_at(col("wlats"), -1))
+      else col("wlats")
+    val refLons =
+      if (endpointsOnly) array(element_at(col("wlons"), 1), element_at(col("wlons"), -1))
+      else col("wlons")
+    rhs.join(broadcast(lhs), Seq("jcell"))
+      .withColumn("dist_km", pointToPolylineKm(col("qlat"), col("qlon"), refLats, refLons))
+      .filter(col("dist_km") <= maxKm)
+      .groupBy(col("qid"))
+      .agg(min_by(struct(col("way_id"), col("dist_km")),
+        struct(col("dist_km"), col("way_id"))).as("nn"))
+      .select(col("qid"), col("nn.way_id").as("way_id"), col("nn.dist_km").as("dist_km"))
+  }
 }

@@ -66,6 +66,82 @@ object Derived {
        |  FROM orders
        |)""".stripMargin
 
+  // ---- way polylines from orders (for nearest-street / reverse geocode) ---
+
+  /** Every WayMod-th orders key becomes a 4-vertex way polyline: vertex i is
+   *  the base point displaced i steps along a key-derived direction. Plays
+   *  the role of the reference's street/way boundary node lists
+   *  (indexer.go:986-1026, searcher.go:438-460). */
+  val WayMod = 17L
+  val WayVerts = 4
+
+  def wayDLatExpr(key: Column): Column =
+    (((key * 131L) % 7L) - 3L).cast("double") / 1000.0
+  def wayDLonExpr(key: Column): Column =
+    (((key * 173L) % 9L) - 4L).cast("double") / 1000.0
+  def wayDLatSql(key: String): String = s"(((($key) * 131) % 7) - 3) / 1000.0"
+  def wayDLonSql(key: String): String = s"(((($key) * 173) % 9) - 4) / 1000.0"
+
+  /** Spark side: ways (way_id, wlats, wlons) with WayVerts vertices each. */
+  def ways(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = col("o_orderkey")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(key % WayMod === 0)
+      .select(
+        key.as("way_id"),
+        array((0 until WayVerts).map(i =>
+          latExpr(key) + lit(i.toDouble) * wayDLatExpr(key)): _*).as("wlats"),
+        array((0 until WayVerts).map(i =>
+          lonExpr(key) + lit(i.toDouble) * wayDLonExpr(key)): _*).as("wlons"))
+  }
+
+  /** DuckDB twin of [[ways]]: scalar base + direction columns (the oracle
+   *  derives vertex i as blat + i*dlat). */
+  val waysSqlCte: String =
+    s"""ways AS (
+       |  SELECT o_orderkey AS way_id,
+       |         ${latSql("o_orderkey")} AS blat,
+       |         ${lonSql("o_orderkey")} AS blon,
+       |         ${wayDLatSql("o_orderkey")} AS dlat,
+       |         ${wayDLonSql("o_orderkey")} AS dlon
+       |  FROM orders WHERE o_orderkey % $WayMod = 0
+       |)""".stripMargin
+
+  // ---- named bbox objects from orders (for spatial dedup, P4) -------------
+
+  /** Objects with a name and a bounding box, for the same-name containment
+   *  dedup (reference indexer.go:582-618). Groups of 3 consecutive keys
+   *  share a center + name (base = id - id%3) with key-varied extents, so
+   *  nested same-name bboxes — the duplicate shape the reference hunts —
+   *  actually occur. */
+  def namedBoxes(spark: SparkSession, sfDir: String): DataFrame = {
+    val id = col("o_orderkey")
+    val base = id - (id % 3)
+    val eLat = (((id * 37L) % 40L) + 1L).cast("double") / 2000.0
+    val eLon = (((id * 53L) % 40L) + 1L).cast("double") / 1500.0
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(
+        id.as("id"),
+        concat(lit("n"), (base % 97L).cast("string")).as("name"),
+        (latExpr(base) - eLat).as("lat_min"), (latExpr(base) + eLat).as("lat_max"),
+        (lonExpr(base) - eLon).as("lon_min"), (lonExpr(base) + eLon).as("lon_max"))
+  }
+
+  val namedBoxesSqlCte: String = {
+    val base = "(o_orderkey - (o_orderkey % 3))"
+    val eLat = "(((o_orderkey * 37) % 40) + 1) / 2000.0"
+    val eLon = "(((o_orderkey * 53) % 40) + 1) / 1500.0"
+    s"""named_boxes AS (
+       |  SELECT o_orderkey AS id,
+       |         'n' || CAST($base % 97 AS VARCHAR) AS name,
+       |         ${latSql(base)} - $eLat AS lat_min,
+       |         ${latSql(base)} + $eLat AS lat_max,
+       |         ${lonSql(base)} - $eLon AS lon_min,
+       |         ${lonSql(base)} + $eLon AS lon_max
+       |  FROM orders
+       |)""".stripMargin
+  }
+
   // ---- trajectory points from events (for geofencing) ---------------------
 
   /** Per-user trajectory: event stream with a deterministic position per

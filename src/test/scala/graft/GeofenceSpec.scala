@@ -69,6 +69,36 @@ class GeofenceSpec extends AnyFunSuite {
     assert(out == Set("a", "b", "c"))
   }
 
+  test("FenceStore: persisted named collections with MERGE upsert (fence_index.go:21-48,88-96)") {
+    val dir = java.nio.file.Files.createTempDirectory("fence-store").toString
+    val store = new Geofence.FenceStore(spark, dir)
+    store.addCollection("jakarta")
+    intercept[IllegalArgumentException](store.addCollection("jakarta")) // AddFence errors on dup (:33-38)
+    intercept[IllegalArgumentException](store.fences("nope"))           // Search errors on missing (:49-54)
+    assert(store.fences("jakarta") == Seq.empty)                        // empty collection persists
+    store.upsertFencePoint("jakarta", Fence("a", -7.5, 110.8, 2.0))
+    store.upsertFencePoint("jakarta", Fence("b", -7.6, 110.9, 3.0))
+    // MERGE: same key replaces
+    store.upsertFencePoint("jakarta", Fence("a", -7.5, 110.8, 9.0))
+    // a second collection does not interfere
+    store.addCollection("bogor")
+    store.upsertFencePoint("bogor", Fence("a", -6.6, 106.8, 1.0))
+    // a fresh store instance re-reads everything from disk
+    val store2 = new Geofence.FenceStore(spark, dir)
+    assert(store2.fences("jakarta") ==
+      Seq(Fence("a", -7.5, 110.8, 9.0), Fence("b", -7.6, 110.9, 3.0)))
+    assert(store2.fences("bogor") == Seq(Fence("a", -6.6, 106.8, 1.0)))
+    store2.deleteCollection("jakarta")
+    intercept[IllegalArgumentException](store2.fences("jakarta"))
+    assert(store2.fences("bogor").nonEmpty)
+    // search delegates to fenceStatus over the persisted fences
+    val out = store2.search("bogor",
+      Seq((1L, 1L, new java.sql.Timestamp(0), -6.6, 106.8))
+        .toDF("event_id", "user_id", "ts", "lat", "lon"))
+      .select("status").collect().map(_.getString(0)).toSet
+    assert(out == Set("ENTER", "INSIDE"))
+  }
+
   test("streaming flatMapGroupsWithState output equals the batch operator") {
     val track = Derived.track(spark, TestSpark.Sf).filter(col("user_id") < 5)
     val fences = graft.entry.SpatialQueries.Fences.all

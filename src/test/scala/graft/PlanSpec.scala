@@ -88,6 +88,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(o_orderkey)"), s"no scan pushdown:\n$p")
   }
 
+  test("geofence nearest-fence selection is map-side: one lag window, no row_number over the track x fences product") {
+    val df = graft.query.Geofence.fenceStatus(
+      Derived.track(spark, Sf), SpatialQueries.Fences.all)
+    val p = plan(df)
+    assert(!p.contains("row_number"),
+      s"fence ranking still shuffles the cross product through a window:\n$p")
+    // exactly the lag window's exchange on user_id — nothing else shuffles
+    val windows = p.linesIterator.count(_.trim.stripPrefix("+- ").startsWith("Window"))
+    assert(windows == 1, s"expected only the lag window, got $windows:\n$p")
+  }
+
   test("posting build is a partial+final hash aggregation (map-side combine)") {
     val df = graft.index.TextIndex.postings(
       spark.read.parquet(s"$Sf/documents.parquet"), "doc_id", "text")

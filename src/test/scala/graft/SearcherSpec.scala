@@ -66,4 +66,23 @@ class SearcherSpec extends AnyFunSuite {
     assert(searcher.autocomplete("", 3).isEmpty)
     assert(searcher.correct("") == Seq.empty)
   }
+
+  test("LM is built over the UNK-thresholded corpus (ngram_lm.go:69-110): " +
+    "a hapax candidate scores as <UNK>, whose pooled mass can beat a freq-2 word") {
+    // corpus: 'vv' twice, 'vx' once, 29 more unique hapax words — each its
+    // own doc so the quad-gram (<s><s><s> w) counts mirror the unigrams.
+    // Typo 'vy' has edit-1 candidates {vv, vx} with identical edit
+    // log-probs (same substitution class, empty confusion counts).
+    //   WITHOUT thresholding: P(vx)=1/T < P(vv)=2/T -> picks vv.
+    //   WITH the reference's thresholding: vx ranks as <UNK> with pooled
+    //   count 30 > 2 -> picks vx.
+    val hapaxDocs = (1 to 29).map(i => (100L + i, s"h$i${i}word", ""))
+    val oovDocs = (Seq(
+      (1L, "vv", ""), (2L, "vv", ""), (3L, "vx", "")
+    ) ++ hapaxDocs).toDF("doc_id", "name", "address")
+    val s2 = new Searcher(oovDocs, "doc_id", "name", "address",
+      spellErrorLines = Seq("qq: qx"))
+    assert(s2.correct("vy") == Seq("vx"),
+      "hapax candidate must rank via the pooled <UNK> mass")
+  }
 }
