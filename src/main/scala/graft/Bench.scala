@@ -50,7 +50,11 @@ object Bench {
     val n = orders.count()
     val r = math.max(1L, targetRows / math.max(1L, n))
     val key = (col("o_orderkey") * r + col("rep")).as("key")
-    orders.crossJoin(spark.range(r).toDF("rep"))
+    // repartition the SMALL side before the row-multiplying crossJoin: the
+    // orders keys (1.5M rows) shuffle cheaply into 128 partitions and each
+    // task then generates its r replicas locally — repartitioning after the
+    // join would shuffle the full targetRows (measured: minutes at 768M)
+    orders.repartition(128).crossJoin(broadcast(spark.range(r).toDF("rep")))
       .select(key)
       .select(
         col("key").as("id"),
@@ -69,10 +73,14 @@ object Bench {
   def materializeInput(sfDir: String, targetRows: Long): String = {
     val path = s"/tmp/graft-bench-input-${targetRows}-${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
-      val spark = session(8)
-      try scaledObjects(spark, sfDir, targetRows).repartition(128)
+      val spark = session(16)
+      try scaledObjects(spark, sfDir, targetRows)
         .write.mode("overwrite").parquet(path)
-      finally spark.stop()
+      finally {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
     }
     path
   }
@@ -181,14 +189,18 @@ object Bench {
     var rows = runOnce(n, inputPath)._1
     runOnce(n4, inputPath)
     // interleaved timed reps: a multi-minute host-noise burst hits both
-    // legs instead of sinking one of them
-    val pairs = (1 to reps).map { _ =>
+    // legs instead of sinking one of them. The 4N runs are ~3x shorter, so
+    // per-run jitter is relatively larger there; two 4N reps per interleave
+    // give both legs' minima comparable convergence (every raw rep is
+    // reported, nothing is dropped)
+    val triples = (1 to reps).map { _ =>
       val a = runOnce(n, inputPath)._2
-      val b = runOnce(n4, inputPath)._2
-      (a, b)
+      val b1 = runOnce(n4, inputPath)._2
+      val b2 = runOnce(n4, inputPath)._2
+      (a, b1, b2)
     }
-    val secsN = pairs.map(_._1)
-    val secsN4 = pairs.map(_._2)
+    val secsN = triples.map(_._1)
+    val secsN4 = triples.flatMap(t => Seq(t._2, t._3))
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     // host noise is one-sided (steal/kernel bursts only ever ADD time): the
     // min over reps estimates the uncontended runtime; the median is

@@ -81,6 +81,23 @@ object Cells {
     fromXY(x(cell) >> (l - parentLevel), y(cell) >> (l - parentLevel), parentLevel)
   }
 
+  /**
+   * [min, max] cell-ID range of this cell's descendants at `childLevel`.
+   * Descendants of one cell are CONTIGUOUS at a fixed level: their Morton
+   * codes share the parent's prefix, and the level bits are constant — so a
+   * coarse-cell candidate set turns into a handful of BETWEEN predicates on
+   * the stored fine-level cell column (range-prunable at the scan), instead
+   * of an `isin` over 4^(levels) enumerated children.
+   */
+  def childRange(cell: Long, childLevel: Int): (Long, Long) = {
+    val l = level(cell)
+    require(childLevel >= l, s"childLevel $childLevel above cell level $l")
+    val d = childLevel - l
+    val minC = fromXY(x(cell) << d, y(cell) << d, childLevel)
+    val maxC = fromXY(((x(cell) + 1) << d) - 1, ((y(cell) + 1) << d) - 1, childLevel)
+    (minC, maxC)
+  }
+
   /** Four children at level+1. */
   def children(cell: Long): Array[Long] = {
     val l = level(cell); val cx = x(cell) << 1; val cy = y(cell) << 1

@@ -63,20 +63,36 @@ object Spatial {
       case None =>
     }
 
-    // pure kNN: grow the disk until the kth distance is provably exact
+    // pure kNN: grow the disk until the kth distance is provably exact.
+    // Wide disks coarsen the cell LEVEL ([[effectiveDisk]]) and filter the
+    // stored fine-level cell column with <=25 BETWEEN ranges
+    // ([[Cells.childRange]] — descendants are Morton-contiguous), so the
+    // predicate stays scan-prunable however far the search has to reach.
     var r = 1
     var result: Array[org.apache.spark.sql.Row] = Array.empty
     var done = false
     val maxR = (1 << math.min(level, 12)) // full globe fallback guard
     while (!done) {
-      val cells = Cells.disk(qCell, r)
-      var cand = points.filter(col("cell").isin(cells.map(java.lang.Long.valueOf): _*))
+      val (lvl, rad) = effectiveDisk(level, r)
+      val pred =
+        if (lvl == level) {
+          val cells = Cells.disk(qCell, r)
+          col("cell").isin(cells.map(java.lang.Long.valueOf): _*)
+        } else {
+          Cells.disk(Cells.encode(lat, lon, lvl), rad)
+            .map { c =>
+              val (lo, hi) = Cells.childRange(c, level)
+              col("cell").between(lo, hi)
+            }
+            .reduce(_ || _)
+        }
+      var cand = points.filter(pred)
       feature.foreach(f => cand = cand.filter(col("feature") === f))
       result = cand.withColumn("dist_km", dist)
         .orderBy(col("dist_km"), col("id"))
         .limit(k + offset)
         .collect()
-      val bound = Cells.minDistOutsideDiskKm(lat, lon, level, r)
+      val bound = Cells.minDistOutsideDiskKm(lat, lon, lvl, rad)
       done = r >= maxR ||
         (result.length >= k + offset && result.last.getAs[Double]("dist_km") <= bound)
       if (!done) r = math.max(r + 1, r * 2)

@@ -93,6 +93,17 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("single-point kNN far from all data converges via the coarsened range predicate") {
+    val o = Derived.objects(spark, TestSpark.Sf)
+    val (qLat, qLon) = (20.0, 50.0) // ~7000 km from the derived region
+    val got = Spatial.knn(o, qLat, qLon, 4).select("id").collect().map(_.getLong(0)).toSeq
+    val brute = o.withColumn("d",
+        GeoFunctions.haversineKm(lit(qLat), lit(qLon), col("lat"), col("lon")))
+      .orderBy(col("d"), col("id")).limit(4)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == brute)
+  }
+
   test("rangeSearch equals brute-force bbox filter") {
     val o = Derived.objects(spark, TestSpark.Sf)
     val got = Spatial.rangeSearch(o, -7.8, 107.2, -6.9, 108.8)
