@@ -174,8 +174,15 @@ object GeoFunctions {
     val gamma = vLat * vLat + vLon * vLon - rM * rM
     val disc = beta * beta - alpha * gamma
     val sq = sqrt(disc)
-    val t1 = (negate(beta) + sq) / alpha
-    val t2 = (negate(beta) - sq) / alpha
+    // try_divide: a zero-length segment (alpha = 0, e.g. identical
+    // consecutive positions) must yield FALSE like the reference's Go float
+    // division (0/0 = NaN, NaN comparisons false, circle.go:84-95). A plain
+    // division throws under ANSI mode — and cannot be guarded by a lazy
+    // AND, because subexpression elimination hoists the shared division out
+    // of the conditional. try_divide returns NULL there; NULL comparisons
+    // collapse to false in the caller's CASE, matching the reference.
+    val t1 = try_divide(negate(beta) + sq, alpha)
+    val t2 = try_divide(negate(beta) - sq, alpha)
     (disc >= 0) && ((t1 >= 0 && t1 <= 1) || (t2 >= 0 && t2 <= 1))
   }
 
