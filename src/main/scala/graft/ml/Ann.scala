@@ -143,20 +143,45 @@ object Ann {
       .withColumn("list", assign(col("vec")))
   }
 
+  /** The `nprobe` lists nearest to the query (L2 over centroids). */
+  def probeLists(centroids: Array[Array[Double]], query: Seq[Double], nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.zip(query).map { case (a, b) => val t = a - b; t * t }.sum)
+      }
+      .sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1).toSeq
+
+  private def scoreTopK(lists: DataFrame, query: Seq[Double], k: Int): DataFrame =
+    lists.select(col("vec_id"), cosineLit(col("vec"), query).as("cos"))
+      .select(col("vec_id"), round(col("cos") * 1000000).cast("long").as("cos6"))
+      .orderBy(desc("cos6"), col("vec_id"))
+      .limit(k)
+
   /** IVF top-k: probe the `nprobe` centroids nearest to the query, exact
    *  cosine rank inside the probed lists. */
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
               query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
-    val probes = centroids.zipWithIndex
-      .map { case (c, i) =>
-        (i, c.zip(query).map { case (a, b) => val t = a - b; t * t }.sum)
-      }
-      .sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1)
-    assigned.filter(col("list").isin(probes.map(Integer.valueOf).toSeq: _*))
-      .select(col("vec_id"), cosineLit(col("vec"), query).as("cos"))
-      .select(col("vec_id"), round(col("cos") * 1000000).cast("long").as("cos6"))
-      .orderBy(desc("cos6"), col("vec_id"))
-      .limit(k)
+    val probes = probeLists(centroids, query, nprobe)
+    scoreTopK(
+      assigned.filter(col("list").isin(probes.map(Integer.valueOf): _*)), query, k)
+  }
+
+  /** Persist the inverted lists PARTITIONED BY list — the IVF index's
+   *  at-rest form. A probe then reads only nprobe/nlist of the table via
+   *  directory-level partition pruning (asserted in AnnSpec), which is the
+   *  whole point of IVF at 10^12 rows: the scan never touches unprobed
+   *  lists. */
+  def ivfWrite(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("list").parquet(path)
+
+  /** Probe-limited top-k over a persisted IVF index ([[ivfWrite]]). */
+  def ivfProbeTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   centroids: Array[Array[Double]], query: Seq[Double],
+                   k: Int, nprobe: Int): DataFrame = {
+    val probes = probeLists(centroids, query, nprobe)
+    scoreTopK(
+      spark.read.parquet(path)
+        .filter(col("list").isin(probes.map(Integer.valueOf): _*)), query, k)
   }
 
   /** Near-duplicate pairs by cosine >= threshold, LSH-bucketed self-join

@@ -66,6 +66,23 @@ class AnnSpec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("persisted IVF index: probe-limited query prunes partitions and matches the in-memory path") {
+    val cents = Ann.ivfCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 2)
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", cents)
+    val path = java.nio.file.Files.createTempDirectory("ivf-index").toString + "/lists"
+    Ann.ivfWrite(assigned, path)
+    val query = emb.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val fromDisk = Ann.ivfProbeTopK(spark, path, cents, query, k = 10, nprobe = 3)
+    val inMem = Ann.ivfTopK(assigned, cents, query, k = 10, nprobe = 3)
+    assert(fromDisk.collect().toSeq == inMem.collect().toSeq)
+    // the probe is DIRECTORY pruning, not scan+filter: the list predicate
+    // must appear as a PartitionFilter on the file scan
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("list"), s"list probe not a partition filter:\n$plan")
+  }
+
   test("deterministic hyperplanes: same (j, dim) -> same vector") {
     assert(Ann.hyperplane(3, 16).toSeq == Ann.hyperplane(3, 16).toSeq)
     assert(Ann.hyperplane(3, 16).forall(v => v >= -1.0 && v < 1.0))
