@@ -192,15 +192,21 @@ object Bench {
     // legs instead of sinking one of them. The 4N runs are ~3x shorter, so
     // per-run jitter is relatively larger there; two 4N reps per interleave
     // give both legs' minima comparable convergence (every raw rep is
-    // reported, nothing is dropped)
-    val triples = (1 to reps).map { _ =>
+    // reported, nothing is dropped). A wall-clock budget caps the rep loop
+    // (min 2 interleaves) so a heavily contended box degrades to fewer reps
+    // instead of an unbounded run; at normal speed all `reps` fit easily.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toInt
+    val tReps = System.nanoTime()
+    val triples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+    while (triples.length < reps &&
+      (triples.length < 2 || (System.nanoTime() - tReps) / 1e9 < budgetSec)) {
       val a = runOnce(n, inputPath)._2
       val b1 = runOnce(n4, inputPath)._2
       val b2 = runOnce(n4, inputPath)._2
-      (a, b1, b2)
+      triples += ((a, b1, b2))
     }
-    val secsN = triples.map(_._1)
-    val secsN4 = triples.flatMap(t => Seq(t._2, t._3))
+    val secsN = triples.map(_._1).toSeq
+    val secsN4 = triples.flatMap(t => Seq(t._2, t._3)).toSeq
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     // host noise is one-sided (steal/kernel bursts only ever ADD time): the
     // min over reps estimates the uncontended runtime; the median is
