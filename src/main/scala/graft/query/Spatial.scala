@@ -314,6 +314,8 @@ object Spatial {
         (la, lo) => haversineKm(anchorLat, anchorLon, la, lo)),
       lit(0.0), (acc, x) => greatest(acc, x))
     val stats = ways.agg(max(span), min(anchorLat), max(anchorLat)).head()
+    if (stats.isNullAt(0)) // no ways at all: no pairs to produce
+      return queries.sparkSession.emptyDataFrame
     val spanKm = stats.getDouble(0)
     val coverKm = maxKm + spanKm
     val bandLat = math.min(89.9,
