@@ -19,6 +19,12 @@ object MlQueries {
   val JaccardMaxId = 200L
   val JaccardThreshold = 0.7
   val MinhashMaxId = 200L
+  val CosinePairBits = 8
+  /** Nearest observed pair-cosine is 8e-4 (sf0.01) / 5.9e-7 (sf0.1) from
+   *  this cut, and the nearest cos6 rounding boundary is 2.7e-10 away in
+   *  cos units — both orders beyond cross-engine float-summation noise
+   *  (~1e-13), so membership and quantization are engine-stable. */
+  val CosinePairThreshold = 0.3
 
   private def docs(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/documents.parquet")
@@ -43,9 +49,14 @@ object MlQueries {
           "doc_id", "text"))
         .orderBy(col("id1"), col("id2"))),
 
-    // D4: SimHash signatures + near-dup pairs (rows-only: xxhash64 basis)
+    // D4: SimHash signatures over the cross-engine md5-60-bit term hash —
+    // the full signature pipeline (tokenize -> hash -> ±1 bit sums ->
+    // majority pack) gets a value-level DuckDB oracle. The production
+    // xxhash64/64-bit basis is the same plan (Dedup.simhash) and is
+    // spec-tested in DedupSpec.
     "d4_simhash" -> ((s, dir) =>
-      Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+      Dedup.simhashWith(docs(s, dir), "doc_id", "text", Dedup.md5Hash60, 60)
+        .orderBy(col("doc_id"))),
 
     // E1: exact brute-force cosine top-k vs the vec_id=1 embedding
     "e1_cosine_topk" -> ((s, dir) => {
@@ -57,7 +68,10 @@ object MlQueries {
         .orderBy(desc("cos4"), col("vec_id")).limit(10)
     }),
 
-    // E2: LSH-bucketed approximate top-k (rows-only; recall asserted in spec)
+    // E2: LSH-bucketed approximate top-k. The hyperplanes are deterministic
+    // integer arithmetic (Ann.hyperplane), so the WHOLE approximate path —
+    // signatures, multiprobe bucket set, in-bucket exact rank — has a
+    // value-level DuckDB twin; recall vs brute force is asserted in AnnSpec.
     "e2_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       val dim = e.select(size(col("embedding"))).head().getInt(0)
@@ -65,6 +79,17 @@ object MlQueries {
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       Ann.lshTopK(Ann.lshBuckets(e, "vec_id", "embedding", 12, dim), q, 10, 12)
         .select(col("vec_id"), col("cos6"))
+    }),
+
+    // E4: embedding-cosine near-dup pairs, LSH-bucketed self-join (the
+    // scale path: pairs only form inside a bucket). Deterministic buckets
+    // make the approximate operator fully oracle-checkable.
+    "e4_cosine_pairs" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      Ann.cosinePairs(Ann.lshBuckets(e, "vec_id", "embedding", CosinePairBits, dim),
+          CosinePairThreshold)
+        .orderBy(col("id1"), col("id2"))
     }),
 
     // E3: IVF (inverted-file) approximate top-k — full probe (nprobe =
@@ -107,6 +132,12 @@ object MlQueries {
     // X4: document fingerprint (position-weighted checksum)
     "x4_fingerprint" -> ((s, dir) =>
       TextStats.fingerprint(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+
+    // X5: corpus-LM (bigram stupid-backoff) average log-prob per document —
+    // LM-based quality filtering, fully distributed (counts are shuffles,
+    // scoring is equi-joins; no driver-side model)
+    "x5_lm_score" -> ((s, dir) =>
+      TextStats.lmScore(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
 
     // F17: image decode + PSNR per-row invariant (input_hint) — rows-only
     "f17_image_verify" -> ((s, dir) => {
@@ -153,6 +184,24 @@ object MlQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** DuckDB twin of [[Ann.lshSignature]]: hyperplane h(j,d) =
+   *  ((j*73856093 + d*19349663 + 83492791) % 2000001)/1e6 - 1 (pure integer
+   *  arithmetic — identical in both engines), bucket bit j set iff
+   *  dot(v, h_j) > 0. The smallest observed |dot| is ~5.7e-5, five orders
+   *  above cross-engine float-summation noise, so the sign never flips.
+   *  Yields CTEs `e`(vec_id, v) and `sig`(vec_id, bucket). */
+  private def lshSigCtes(nBits: Int): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |hp AS (SELECT j, d,
+       |    (((j*73856093 + d*19349663 + 83492791) % 2000001) / 1000000.0 - 1.0) AS h
+       |  FROM (SELECT unnest(range($nBits)) AS j),
+       |       (SELECT unnest(range((SELECT MAX(len(embedding)) FROM embeddings))) AS d)),
+       |dots AS (SELECT e.vec_id, hp.j, SUM(e.v[CAST(hp.d AS INTEGER) + 1] * hp.h) AS dot
+       |  FROM e, hp GROUP BY 1, 2),
+       |sig AS (SELECT vec_id,
+       |    SUM(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
@@ -170,6 +219,56 @@ object MlQueries {
          |ORDER BY id1, id2""".stripMargin,
 
     "d3_minhash" -> minhashSql,
+
+    // portable simhash: md5-60-bit term hash (top 60 bits of the digest,
+    // exact in both engines), ±1 bit sums over token OCCURRENCES, majority
+    // pack — the same plan as the production xxhash64 signature
+    "d4_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${T("text")}) AS term FROM documents),
+         |th AS (SELECT doc_id, CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h FROM toks),
+         |bits AS (SELECT doc_id, CAST(b AS INTEGER) AS b,
+         |    SUM(CASE WHEN ((h >> CAST(b AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM th, (SELECT unnest(range(60)) AS b) GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "e2_ann_lsh" ->
+      s"""WITH ${lshSigCtes(12)},
+         |qsig AS (SELECT bucket FROM sig WHERE vec_id = 1),
+         |probes AS (SELECT bucket AS p FROM qsig
+         |  UNION ALL
+         |  SELECT xor(bucket, (1::BIGINT << CAST(j AS INTEGER)))
+         |  FROM qsig, (SELECT unnest(range(12)) AS j)),
+         |qv AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+         |    unnest(range(len(embedding))) AS pos
+         |  FROM embeddings WHERE vec_id = 1),
+         |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |    unnest(range(len(embedding))) AS pos
+         |  FROM embeddings),
+         |cand AS (SELECT ev.* FROM ev JOIN sig USING (vec_id)
+         |  WHERE sig.bucket IN (SELECT p FROM probes)),
+         |d AS (SELECT e.vec_id, SUM(e.v * q.v) AS dot,
+         |    SUM(e.v * e.v) AS n2, SUM(q.v * q.v) AS qn2
+         |  FROM cand e JOIN qv q ON e.pos = q.pos GROUP BY e.vec_id)
+         |SELECT vec_id, ${Derived.q6Sql("dot / (sqrt(n2) * sqrt(qn2))")} AS cos6
+         |FROM d ORDER BY cos6 DESC, vec_id LIMIT 10""".stripMargin,
+
+    "e4_cosine_pairs" ->
+      s"""WITH ${lshSigCtes(CosinePairBits)},
+         |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |    unnest(range(len(embedding))) AS pos
+         |  FROM embeddings),
+         |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pc AS (SELECT p.id1, p.id2,
+         |    SUM(x.v * y.v) / (sqrt(SUM(x.v * x.v)) * sqrt(SUM(y.v * y.v))) AS cos
+         |  FROM pairs p
+         |  JOIN ev x ON x.vec_id = p.id1
+         |  JOIN ev y ON y.vec_id = p.id2 AND x.pos = y.pos
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, ${Derived.q6Sql("cos")} AS cos6
+         |FROM pc WHERE cos >= $CosinePairThreshold ORDER BY id1, id2""".stripMargin,
 
     "e1_cosine_topk" ->
       s"""WITH qv AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -214,6 +313,11 @@ object MlQueries {
 
     "x4_fingerprint" ->
       s"""SELECT doc_id, ${TextStats.fingerprintSql("text")} AS fingerprint
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x5_lm_score" ->
+      s"""WITH ${Derived.docTermsSqlCte},
+         |${TextStats.lmScoreSql}
+         |ORDER BY doc_id""".stripMargin
   )
 }

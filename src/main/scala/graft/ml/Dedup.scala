@@ -143,26 +143,39 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Cross-engine 60-bit term hash: the first 15 hex chars of md5, i.e. the
+   *  top 60 bits of the digest. Exactly reproducible in DuckDB as
+   *  `CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)`, which is what gives
+   *  the simhash pipeline a full value-level oracle (d4). Production use
+   *  keeps the faster codegen'd xxhash64 basis. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** SimHash 64-bit signature per doc over its token multiset. Token hash =
-   *  xxhash64 (Spark built-in); bit b contributes +tf/-tf by hash bit.
+   *  xxhash64 (Spark built-in, codegen); bit b contributes ±1 by hash bit. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashWith(docs, idCol, textCol, xxhash64(_), 64)
+
+  /** SimHash with a pluggable term hash and signature width.
    *
    *  One shuffle, no row explosion: summing the per-DISTINCT-term
    *  contribution ±tf_t over terms equals summing ±1 over raw token
-   *  OCCURRENCES, so the signature is a single groupBy(doc_id) with 64
+   *  OCCURRENCES, so the signature is a single groupBy(doc_id) with nBits
    *  conditional sums (map-side combine compacts each partition to one row
    *  per doc). The previous explode(sequence(0,63)) shape multiplied every
    *  (doc, term) row by 64 and shuffled twice — measured 14 s at sf0.1 vs
    *  ~1 s for this plan. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashWith(docs: DataFrame, idCol: String, textCol: String,
+                  termHash: Column => Column, nBits: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(graft.sources.Derived.tokens(col(textCol))).as("term"))
-      .withColumn("th", xxhash64(col("term")))
-    val bitSums = (0 until 64).map(b =>
+      .withColumn("th", termHash(col("term")))
+    val bitSums = (0 until nBits).map(b =>
       sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
         .otherwise(lit(-1L))).as(s"s$b"))
     toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b =>
+        (0 until nBits).map(b =>
           when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ bitwiseOR _).as("simhash"))
   }

@@ -120,4 +120,92 @@ object TextStats {
   def fingerprintSql(textExpr: String): String =
     s"CAST(list_sum(list_transform(range(1, len(lower($textExpr)) + 1), " +
       s"i -> CAST(ascii(substr(lower($textExpr), CAST(i AS INTEGER), 1)) AS BIGINT) * i)) % $FpMod AS BIGINT)"
+
+  /** Stupid-backoff discount (same constant as the reference's query LM,
+   *  ngram_lm.go stupidBackoff / SURVEY F14). */
+  val LmAlpha = 0.4
+
+  /**
+   * Corpus-LM quality score: per-document average log10-probability under a
+   * bigram stupid-backoff model built over the SAME corpus — the standard
+   * LLM training-data quality filter (low avg log-prob = boilerplate-free /
+   * unusual text; near-zero = repetitive junk).
+   *
+   * P(w_i | w_{i-1}) = c(w_{i-1}, w_i) / c(w_{i-1}) when the bigram occurs,
+   * else LmAlpha * c(w_i) / N; the first token scores unigram c(w)/N. OOV
+   * cannot occur (corpus model over the scored corpus itself).
+   *
+   * Scale shape: counts are two groupBy shuffles (vocab- and bigram-
+   * cardinality, partial-agg compacted); scoring is equi-joins of the token
+   * stream against those counts — no driver-side model, unlike the search
+   * LM which is bounded-vocab by contract. Docs with zero tokens produce no
+   * output row (no probability is defined), identical in the SQL twin.
+   *
+   * Output: (doc_id, n_tokens, avg_lp4) — avg log-prob quantized 1e-4.
+   */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    lmScoreAgainst(docs, docs, idCol, textCol)
+
+  /** [[lmScore]] generalized to a separate count corpus (score NEW documents
+   *  against an existing model — the production filter shape). Backoff and
+   *  OOV floors then genuinely fire:
+   *  P_uni(w) = c(w)/N, or LmAlpha/N when w is unseen;
+   *  P(w|v)   = c(v,w)/c(v) when the bigram is seen, else LmAlpha * P_uni(w).
+   *  On corpus-self scoring both fallbacks are provably dead (every scored
+   *  bigram occurs in its own counts), which is what keeps the x5 oracle's
+   *  SQL twin simple. */
+  def lmScoreAgainst(docs: DataFrame, corpus: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    def stream(src: DataFrame) = {
+      val toks = Derived.tokens(col(textCol))
+      // (doc_id, term, prev) — prev is null for the first token; the pair
+      // stream is built from the token array in-place (no window shuffle)
+      src.select(col(idCol).as("doc_id"), toks.as("p"))
+        .filter(size(col("p")) >= 1)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(p)), i -> struct(element_at(p, i) AS term, " +
+            "IF(i = 1, CAST(NULL AS STRING), element_at(p, i - 1)) AS prev))")).as("s"))
+        .select(col("doc_id"), col("s.term"), col("s.prev"))
+    }
+    val corpusStream = stream(corpus)
+    val uni = corpusStream.groupBy("term").agg(count(lit(1)).as("c"))
+    val n = corpusStream.count()
+    val big = corpusStream.filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("w1"), col("term").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val pUni = when(col("c2").isNotNull, col("c2") / n).otherwise(lit(LmAlpha) / n)
+    val p = when(col("prev").isNull, pUni)
+      .when(col("c12").isNotNull, col("c12") / col("c1"))
+      .otherwise(lit(LmAlpha) * pUni)
+    stream(docs)
+      .join(uni.select(col("term"), col("c").as("c2")), Seq("term"), "left")
+      .join(uni.select(col("term").as("prev"), col("c").as("c1")), Seq("prev"), "left")
+      .join(big, col("prev") === col("w1") && col("term") === col("w2"), "left")
+      .select(col("doc_id"), log10(p).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), Derived.q4(avg("lp")).as("avg_lp4"))
+  }
+
+  /** DuckDB twin of [[lmScore]] — assumes the `doc_terms` CTE
+   *  (doc_id, pos, term) from [[Derived.docTermsSqlCte]] is in scope. */
+  val lmScoreSql: String =
+    s"""uni AS (SELECT term, COUNT(*) AS c FROM doc_terms GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n FROM doc_terms),
+       |big AS (SELECT a.term AS w1, b.term AS w2, COUNT(*) AS c12
+       |  FROM doc_terms a JOIN doc_terms b
+       |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    log10(CASE
+       |      WHEN t.pos = 0 THEN CAST(u2.c AS DOUBLE) / (SELECT n FROM nn)
+       |      WHEN bg.c12 IS NOT NULL THEN CAST(bg.c12 AS DOUBLE) / u1.c
+       |      ELSE CAST($LmAlpha AS DOUBLE) * u2.c / (SELECT n FROM nn) END) AS lp
+       |  FROM doc_terms t
+       |  JOIN uni u2 ON u2.term = t.term
+       |  LEFT JOIN doc_terms prev ON prev.doc_id = t.doc_id AND prev.pos = t.pos - 1
+       |  LEFT JOIN uni u1 ON u1.term = prev.term
+       |  LEFT JOIN big bg ON bg.w1 = prev.term AND bg.w2 = t.term)
+       |SELECT doc_id, COUNT(*) AS n_tokens, ${Derived.q4Sql("AVG(lp)")} AS avg_lp4
+       |FROM scored GROUP BY doc_id""".stripMargin
 }

@@ -53,6 +53,24 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("md5Hash60: first 60 md5 bits, exact cross-engine goldens") {
+    // goldens = int(hashlib.md5(s).hexdigest()[:15], 16) — the same value
+    // DuckDB's CAST('0x' || substr(md5(s),1,15) AS BIGINT) produces
+    val out = Seq("abc", "jakarta").toDF("t")
+      .select(Dedup.md5Hash60(col("t"))).collect().map(_.getLong(0))
+    assert(out(0) == 648541476951500027L)
+    assert(out(1) == 444074144866726615L)
+  }
+
+  test("simhashWith md5 basis: same invariants as xxhash64, bits confined to 60") {
+    val sh = Dedup.simhashWith(docs, "doc_id", "text", Dedup.md5Hash60, 60).cache()
+    val m = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L)) // identical docs, identical signature
+    assert(m.values.forall(v => (v >>> 60) == 0L)) // no bit above width
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(1L), m(3L)) < hamming(m(1L), m(4L)))
+  }
+
   test("embedding cosine near-dup pairs via LSH buckets") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f, 0.2f)),

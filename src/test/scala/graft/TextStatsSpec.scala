@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.TextStats
+
+/**
+ * Corpus-LM quality score: hand-computed goldens for the three probability
+ * paths (unigram first token, seen bigram, stupid-backoff / OOV floor).
+ * The self-scoring corpus path (x5_lm_score) is value-checked end-to-end by
+ * the DuckDB oracle; this spec pins the cross-corpus branches the oracle's
+ * self-scoring can never reach.
+ */
+class TextStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // corpus: N=6 tokens; uni a=3 b=2 c=1; bigrams (a,b)=2 (a,c)=1
+  lazy val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+
+  test("self-scoring: duplicate docs score identically, all log-probs negative") {
+    val out = TextStats.lmScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == out(2L))
+    assert(out.values.forall(_._2 < 0))
+    // d1 "a b": avg(log10(3/6), log10(2/3)) = -0.2385606... -> -2386
+    assert(out(1L) == ((2L, -2386L)))
+  }
+
+  test("cross-corpus scoring: seen bigram, backoff, and OOV floor goldens") {
+    val docs = Seq((10L, "a b"), (11L, "b c"), (12L, "z a")).toDF("doc_id", "text")
+    val out = TextStats.lmScoreAgainst(docs, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(10L) == -2386L) // both bigram path: same as corpus d1
+    // "b c": uni(b)=2/6; bigram (b,c) unseen -> 0.4 * uni(c)=0.4/6
+    assert(out(11L) == -8266L)
+    // "z a": z OOV -> 0.4/6 floor; (z,a) unseen -> 0.4 * uni(a)=0.2
+    assert(out(12L) == -9375L)
+  }
+}
