@@ -162,8 +162,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    // 1. per-query timings at full parallelism
+    // 1. per-query timings at full parallelism. One cheap untimed query
+    // first: the alphabetically-first timed query was absorbing ~8 s of
+    // fresh-session one-time cost (codegen warm-up, JIT, parquet footer
+    // reads) that belongs to the session, not the plan.
     val spark32 = session(32)
+    // q1_agg warms scan/agg codegen; x3_token_counts warms the tokenizer
+    // path (both are sub-second plans)
+    Seq("q1_agg", "x3_token_counts").foreach(q =>
+      SparkEntry.queries.get(q).foreach(fn =>
+        try fn(spark32, sfDir).count() catch { case _: Throwable => () }))
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark32, sfDir).count(); true } catch { case _: Throwable => false }

@@ -3,7 +3,7 @@ package graft.entry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ml.{Ann, Dedup, TextStats}
+import graft.ml.{Ann, Dedup, Sampling, TextStats}
 import graft.sources.Derived
 import graft.images.Images
 
@@ -20,6 +20,12 @@ object MlQueries {
   val JaccardThreshold = 0.7
   val MinhashMaxId = 200L
   val CosinePairBits = 8
+  /** x7 training-mix rates: downsample the dominant language, keep most of
+   *  the rest, near-drop unidentified text. */
+  val SampleRates: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 0.8, "fr" -> 0.8, "es" -> 0.8)
+  val SampleDefaultRate = 0.1
+  val SampleSalt = "mix1"
   /** Nearest observed pair-cosine is 8e-4 (sf0.01) / 5.9e-7 (sf0.1) from
    *  this cut, and the nearest cos6 rounding boundary is 2.7e-10 away in
    *  cos units — both orders beyond cross-engine float-summation noise
@@ -138,6 +144,20 @@ object MlQueries {
     // scoring is equi-joins; no driver-side model)
     "x5_lm_score" -> ((s, dir) =>
       TextStats.lmScore(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+
+    // X6: duplicate word-3-gram fraction (Gopher-style repetition filter)
+    "x6_repetition" -> ((s, dir) =>
+      TextStats.repetition(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+
+    // X7: deterministic hash-ticket stratified sampling by predicted
+    // language — training-mix re-weighting, reproducible across engines,
+    // runs and partitionings
+    "x7_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+          docs(s, dir).withColumn("lang_pred", TextStats.langIdCol(col("text"))),
+          "doc_id", col("lang_pred"), SampleRates, SampleDefaultRate, SampleSalt)
+        .select(col("doc_id"), col("lang_pred"))
+        .orderBy(col("doc_id"))),
 
     // F17: image decode + PSNR per-row invariant (input_hint) — rows-only
     "f17_image_verify" -> ((s, dir) => {
@@ -318,6 +338,24 @@ object MlQueries {
     "x5_lm_score" ->
       s"""WITH ${Derived.docTermsSqlCte},
          |${TextStats.lmScoreSql}
+         |ORDER BY doc_id""".stripMargin,
+
+    "x6_repetition" ->
+      s"""SELECT doc_id, ${TextStats.repetitionSqlSelect("text").mkString(", ")}
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x7_sample" -> {
+      // the rate CASE is generated from the SAME map as the Spark filter
+      val cut = SampleRates.foldLeft(
+        math.round(SampleDefaultRate * Sampling.Tickets).toString) {
+        case (acc, (k, r)) =>
+          s"CASE WHEN lang_pred = '$k' THEN ${math.round(r * Sampling.Tickets)} ELSE $acc END"
+      }
+      s"""WITH langs AS (SELECT doc_id, ${TextStats.langIdSqlCase("text")} AS lang_pred
+         |  FROM documents)
+         |SELECT doc_id, lang_pred FROM langs
+         |WHERE ${Sampling.ticketSql("doc_id", SampleSalt)} < $cut
          |ORDER BY doc_id""".stripMargin
+    }
   )
 }

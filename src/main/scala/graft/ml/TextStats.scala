@@ -23,19 +23,21 @@ object TextStats {
   def stopwordHits(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words: _*)))
 
-  /** Language ID: argmax of stopword hits with fixed priority on ties
-   *  (en > de > fr > es); zero hits everywhere -> 'und'. */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = Derived.tokens(col(textCol))
+  /** Language ID expression: argmax of stopword hits with fixed priority on
+   *  ties (en > de > fr > es); zero hits everywhere -> 'und'. */
+  def langIdCol(textCol: Column): Column = {
+    val toks = Derived.tokens(textCol)
     val hits = Stopwords.map { case (l, ws) => l -> size(filter(toks, t => t.isin(ws: _*))) }
     val hm = hits.toMap
-    val pred = when(hits.map(_._2).reduce(_ + _) === 0, lit("und"))
+    when(hits.map(_._2).reduce(_ + _) === 0, lit("und"))
       .when(hm("en") >= hm("de") && hm("en") >= hm("fr") && hm("en") >= hm("es"), lit("en"))
       .when(hm("de") >= hm("fr") && hm("de") >= hm("es"), lit("de"))
       .when(hm("fr") >= hm("es"), lit("fr"))
       .otherwise(lit("es"))
-    docs.select(col(idCol).as("doc_id"), pred.as("lang_pred"))
   }
+
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), langIdCol(col(textCol)).as("lang_pred"))
 
   def langIdSqlCase(textExpr: String): String = {
     def hits(ws: Seq[String]) =
@@ -120,6 +122,34 @@ object TextStats {
   def fingerprintSql(textExpr: String): String =
     s"CAST(list_sum(list_transform(range(1, len(lower($textExpr)) + 1), " +
       s"i -> CAST(ascii(substr(lower($textExpr), CAST(i AS INTEGER), 1)) AS BIGINT) * i)) % $FpMod AS BIGINT)"
+
+  /**
+   * Within-document repetition signal (Gopher-style duplicate-n-gram
+   * fraction): rep4 = 1 - distinct/total over the doc's word 3-grams,
+   * quantized 1e-4. High values flag boilerplate / looping generations.
+   * Docs with fewer than 3 tokens emit n3 = 0, rep4 = 0. Pure per-row
+   * column arithmetic — no shuffle, codegen'd, exact in both engines
+   * (the ratio is one IEEE division of small ints).
+   */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = Derived.tokens(col(textCol))
+    val grams = transform(sequence(lit(1), size(t) - 2), i => concat_ws(" ",
+      element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
+    val n3 = when(size(t) >= 3, (size(t) - 2).cast("long")).otherwise(lit(0L))
+    val rep = when(size(t) >= 3,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / (size(t) - 2))
+      .otherwise(lit(0.0))
+    docs.select(col(idCol).as("doc_id"), n3.as("n3"), Derived.q4(rep).as("rep4"))
+  }
+
+  def repetitionSqlSelect(textExpr: String): Seq[String] = {
+    val t = Derived.tokensSql(textExpr)
+    val g = s"list_transform(range(1, len($t) - 1), i -> " +
+      s"$t[CAST(i AS INTEGER)] || ' ' || $t[CAST(i AS INTEGER) + 1] || ' ' || $t[CAST(i AS INTEGER) + 2])"
+    Seq(
+      s"CASE WHEN len($t) >= 3 THEN CAST(len($t) - 2 AS BIGINT) ELSE 0 END AS n3",
+      s"${Derived.q4Sql(s"CASE WHEN len($t) >= 3 THEN 1.0 - CAST(len(list_distinct($g)) AS DOUBLE) / (len($t) - 2) ELSE 0.0 END")} AS rep4")
+  }
 
   /** Stupid-backoff discount (same constant as the reference's query LM,
    *  ngram_lm.go stupidBackoff / SURVEY F14). */

@@ -27,6 +27,36 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(1L) == ((2L, -2386L)))
   }
 
+  test("repetition: duplicate 3-gram fraction goldens, short docs emit 0") {
+    val docs = Seq(
+      (1L, "a b a b a b"),  // grams: aba, bab, aba, bab -> 4 total, 2 distinct
+      (2L, "a b c d"),      // all distinct
+      (3L, "x y")           // < 3 tokens
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((4L, 5000L)))
+    assert(out(2L) == ((2L, 0L)))
+    assert(out(3L) == ((0L, 0L)))
+  }
+
+  test("stratified sampling: deterministic, rate-0 drops stratum, rate-1 keeps it") {
+    import graft.ml.Sampling
+    val rows = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "stratum")
+    def run(rates: Map[String, Double]) =
+      Sampling.stratifiedSample(rows, "doc_id", org.apache.spark.sql.functions.col("stratum"),
+          rates, 0.5, "s1")
+        .select("doc_id").as[Long].collect().toSet
+    val kept = run(Map("a" -> 1.0, "b" -> 0.0))
+    assert(kept == (2L to 200L by 2).toSet) // all of a, none of b
+    // deterministic: same inputs, same sample
+    assert(run(Map("a" -> 0.3, "b" -> 0.7)) == run(Map("a" -> 0.3, "b" -> 0.7)))
+    // a half-rate sample is a subset of the full stratum and roughly half
+    val half = run(Map("a" -> 0.5, "b" -> 0.0))
+    assert(half.subsetOf(kept) && half.size > 20 && half.size < 80)
+  }
+
   test("cross-corpus scoring: seen bigram, backoff, and OOV floor goldens") {
     val docs = Seq((10L, "a b"), (11L, "b c"), (12L, "z a")).toDF("doc_id", "text")
     val out = TextStats.lmScoreAgainst(docs, corpus, "doc_id", "text")
