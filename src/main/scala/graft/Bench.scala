@@ -172,11 +172,19 @@ object Bench {
     Seq("q1_agg", "x3_token_counts").foreach(q =>
       SparkEntry.queries.get(q).foreach(fn =>
         try fn(spark32, sfDir).count() catch { case _: Throwable => () }))
+    // host-noise bursts run 3-5x for minutes (BENCH.md) and the query phase
+    // is one-shot, so a burst inflates every query it covers: re-time any
+    // query over 2 s once and keep the min (a clean run re-times only the
+    // handful of genuinely slow plans, ~15 s extra)
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark32, sfDir).count(); true } catch { case _: Throwable => false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark32, sfDir).count() } catch { case _: Throwable => return -1.0 }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = once()
+      name -> (if (first > 2.0) { val second = once(); if (second < 0) first else math.min(first, second) }
+               else first)
     }
     spark32.stop()
     SparkSession.clearActiveSession()

@@ -10,9 +10,12 @@ import graft.query.Spatial
 /**
  * Driver contract — one `queries` entry per implemented operator from
  * SURVEY.md §2 (operator IDs in the names), with a DuckDB oracle twin in
- * `oracleSql` for every deterministic op. Binary/approximate ops (SimHash,
- * LSH ANN, image decode/PSNR, image tiles) are rows-only here and
- * property-tested in ScalaTest.
+ * `oracleSql` for every deterministic op — including the approximate ones
+ * (SimHash via a cross-engine md5-60-bit basis, LSH ANN / cosine pairs via
+ * integer-arithmetic hyperplanes reproduced in SQL, IVF via full-probe ≡
+ * brute force). Only the image-binary ops (decode/PSNR/resize/features,
+ * phash-derived tiles) are rows-only — DuckDB cannot decode PNG — and are
+ * pixel-exactness-tested in ScalaTest instead.
  */
 object SparkEntry {
 

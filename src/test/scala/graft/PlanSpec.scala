@@ -107,4 +107,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial count") ||
       p.contains("partial_"), s"no partial aggregation phase:\n$p")
   }
+
+  test("repetition and stratified sampling are map-side only (no exchange)") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val rep = plan(graft.ml.TextStats.repetition(docs, "doc_id", "text"))
+    assert(!rep.contains("Exchange"), s"repetition shuffles:\n$rep")
+    val samp = plan(graft.ml.Sampling.stratifiedSample(
+      docs.withColumn("lang_pred", graft.ml.TextStats.langIdCol(col("text"))),
+      "doc_id", col("lang_pred"), Map("en" -> 0.5), 0.1, "s"))
+    assert(!samp.contains("Exchange"), s"sampling shuffles:\n$samp")
+  }
+
+  test("LM score: count tables aggregate partially, no cartesian joins") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val p = plan(graft.ml.TextStats.lmScore(docs, "doc_id", "text"))
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LM score joins degenerated to a product:\n$p")
+  }
 }
