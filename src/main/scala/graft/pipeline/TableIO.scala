@@ -45,7 +45,7 @@ object TableIO {
    * stand-in for Iceberg sort orders).
    */
   def stage(spark: SparkSession, dir: String, name: String,
-            partitionBy: Seq[String] = Nil, buckets: Int = 0)
+            partitionBy: Seq[String] = Nil)
            (compute: => DataFrame): DataFrame = {
     val path = s"$dir/$name"
     if (isComplete(dir, name)) return spark.read.parquet(path)
@@ -86,6 +86,65 @@ object TableIO {
          |  "schema": "${esc(df.schema.simpleString)}",
          |  "partition_by": [${partitionBy.map(p => s""""${esc(p)}"""").mkString(", ")}],
          |  "partitions": [${perFileJson.mkString(", ")}]
+         |}""".stripMargin
+    Files.write(manifestPath(dir, name), manifest.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    written
+  }
+
+  /**
+   * A stage persisted as an EXTERNAL BUCKETED table: hash-bucketed and
+   * sorted by `key` into `nBuckets` files per partition, registered in the
+   * catalog so the reader's `outputPartitioning` carries the bucketing.
+   * Joins and aggregations keyed on `key` then skip their shuffle entirely
+   * (asserted in TableIOSpec) — the co-located-join layout for tables that
+   * are repeatedly joined on one key (postings on `term`, objects on
+   * `cell`). At warehouse scale the catalog is the metastore and the
+   * registration outlives every session; here the catalog is session-local,
+   * so a fresh session re-registers over the existing files from the DDL
+   * recorded in the manifest (`bucket_ddl`) — the data itself is never
+   * rewritten on resume.
+   *
+   * Returns `spark.table(...)`, the bucket-aware handle (a plain
+   * `read.parquet` of the same path would silently drop the bucket
+   * metadata and re-shuffle).
+   */
+  def bucketedStage(spark: SparkSession, dir: String, name: String,
+                    key: String, nBuckets: Int)
+                   (compute: => DataFrame): DataFrame = {
+    val tbl = s"graft_${name}_by_$key"
+    val path = s"$dir/$name"
+    def ddl(schema: String) =
+      s"""CREATE TABLE $tbl ($schema) USING parquet
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin
+    if (spark.catalog.tableExists(tbl)) return spark.table(tbl)
+    if (isComplete(dir, name)) {
+      // resume in a fresh session: re-register over the existing files
+      val manifest = Files.readString(manifestPath(dir, name))
+      val m = """"bucket_ddl_schema": "(.*?)"""".r.findFirstMatchIn(manifest)
+        .getOrElse(sys.error(s"stage $name exists but has no bucket_ddl_schema"))
+      spark.sql(ddl(m.group(1).replace("\\\"", "\"")))
+      return spark.table(tbl)
+    }
+    val t0 = System.nanoTime()
+    val df = compute
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(tbl)
+    val written = spark.table(tbl)
+    val totalRows = written.count()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val manifest =
+      s"""{
+         |  "stage": "${esc(name)}",
+         |  "rows": $totalRows,
+         |  "wall_sec": $wallSec,
+         |  "schema": "${esc(df.schema.simpleString)}",
+         |  "bucket_key": "${esc(key)}",
+         |  "n_buckets": $nBuckets,
+         |  "bucket_ddl_schema": "${esc(df.schema.toDDL)}"
          |}""".stripMargin
     Files.write(manifestPath(dir, name), manifest.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)

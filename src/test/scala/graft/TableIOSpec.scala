@@ -40,4 +40,45 @@ class TableIOSpec extends AnyFunSuite {
     val subdirs = new java.io.File(s"$dir/s2").listFiles().map(_.getName)
     assert(subdirs.count(_.startsWith("bucket=")) == 4)
   }
+
+  test("bucketed stage: join and agg on the bucket key are shuffle-free; resume re-registers") {
+    val dir = Files.createTempDirectory("graft_stage_b").toString
+    var computeRuns = 0
+    def build() = {
+      computeRuns += 1
+      (1 to 2000).map(i => (s"t${i % 97}", i.toLong, (i % 5 + 1).toLong))
+        .toDF("term", "doc_id", "tf")
+    }
+    val postings = TableIO.bucketedStage(spark, dir, "postings_b", "term", 8)(build())
+    assert(postings.count() == 2000 && computeRuns == 1)
+
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+    def noShuffle(p: String) = !p.contains("Exchange hashpartitioning")
+    // at test size the join would just broadcast; disable that so the plan
+    // shows what a 100x self-join does — bucketed scan, zero shuffle
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = postings.as("a").join(postings.as("b"), "term")
+      val jp = plan(joined)
+      assert(jp.contains("Bucketed: true"), s"scan not bucket-aware:\n$jp")
+      assert(noShuffle(jp), s"bucketed self-join still shuffles:\n$jp")
+      // keyed aggregation: bucketing satisfies the required distribution
+      val agged = postings.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      assert(noShuffle(plan(agged)),
+        s"bucketed groupBy still shuffles:\n${plan(agged)}")
+      // a plain path read must NOT silently pretend to be bucketed
+      val pathRead = spark.read.parquet(s"$dir/postings_b")
+      assert(!noShuffle(plan(pathRead.groupBy("term").count())))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+    // resume in a "fresh catalog": drop the table, stage must re-register
+    // from the manifest DDL without recomputing, bucketing intact
+    spark.sql("DROP TABLE graft_postings_b_by_term")
+    val resumed = TableIO.bucketedStage(spark, dir, "postings_b", "term", 8)(build())
+    assert(resumed.count() == 2000 && computeRuns == 1,
+      "bucketed stage recomputed despite completed manifest")
+    assert(!plan(resumed.groupBy("term").count()).contains("Exchange hashpartitioning"),
+      "re-registered table lost its bucketing")
+  }
 }
