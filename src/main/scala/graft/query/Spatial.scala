@@ -214,6 +214,40 @@ object Spatial {
         col("lon") >= lonMin && col("lon") <= lonMax)
   }
 
+  /** Coarse tile level for the at-rest spatial layout: level 7 is 64x
+   *  coarser per axis than [[Cells.DefaultLevel]] 13 — ~16k populated
+   *  directories for a world table, each holding ~4k fine cells. */
+  val TileStoreLevel = 7
+
+  /**
+   * The spatial index's at-rest form (the persisted twin of the R-tree,
+   * same role as [[graft.ml.Ann.ivfWrite]] for vectors): points persisted
+   * PARTITIONED BY a coarse tile, so a bbox query prunes at the DIRECTORY
+   * level and the scan never opens tiles outside the query's cover. Within
+   * admitted tiles the usual fine-cell prefilter + exact bbox refine runs
+   * ([[rangeSearch]]). At 10^12 rows this is the difference between a
+   * full-table scan per query and reading cover/total of the data.
+   */
+  def tiledWrite(points: DataFrame, path: String,
+                 coarseLevel: Int = TileStoreLevel): Unit =
+    points
+      .withColumn("tile", cellEncode(col("lat"), col("lon"), lit(coarseLevel)))
+      .write.mode("overwrite").partitionBy("tile").parquet(path)
+
+  /** Bbox search over a [[tiledWrite]] table: coarse-tile partition pruning
+   *  (asserted in SpatialStoreSpec), then the exact [[rangeSearch]] refine.
+   *  Result set identical to [[rangeSearch]] over the full table. */
+  def rangeSearchTiled(spark: org.apache.spark.sql.SparkSession, path: String,
+                       latMin: Double, lonMin: Double,
+                       latMax: Double, lonMax: Double,
+                       level: Int = Cells.DefaultLevel,
+                       coarseLevel: Int = TileStoreLevel): DataFrame = {
+    val tiles = Cells.coverBBox(latMin, lonMin, latMax, lonMax, coarseLevel)
+    val pruned = spark.read.parquet(path)
+      .filter(col("tile").isin(tiles.map(java.lang.Long.valueOf): _*))
+    rangeSearch(pruned, latMin, lonMin, latMax, lonMax, level)
+  }
+
   /**
    * Nearest-neighbour enrichment join (reference GetFullAdress,
    * indexer.go:986-1026): for every left point, the nearest right point
