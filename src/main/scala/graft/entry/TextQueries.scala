@@ -30,19 +30,32 @@ object TextQueries {
   // indexer.go:672-768). Memoizing per (session, dir) gives every text
   // query the built/cached postings tables, so measured query times are
   // query cost, not index-build cost. Keyed on the session so a stopped
-  // session's cached plans are never reused.
+  // session's cached plans are never reused — and entries belonging to
+  // stopped sessions are evicted on every access, so a long-lived JVM that
+  // cycles sessions (test harnesses, repeated drivers) cannot accumulate
+  // dead drivers' models.
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), SearchIndex]
-  private def index(s: SparkSession, dir: String) =
-    indexCache.getOrElseUpdate((s, dir),
-      new SearchIndex(docs(s, dir), "doc_id", "text", "source"))
-
   private val searcherCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.query.Searcher]
-  private def searcher(s: SparkSession, dir: String) =
+  private def evictStopped(): Unit = {
+    indexCache.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) indexCache.remove(k) }
+    searcherCache.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) searcherCache.remove(k) }
+  }
+  private def index(s: SparkSession, dir: String) = {
+    evictStopped()
+    indexCache.getOrElseUpdate((s, dir),
+      new SearchIndex(docs(s, dir), "doc_id", "text", "source"))
+  }
+
+  private def searcher(s: SparkSession, dir: String) = {
+    evictStopped()
     searcherCache.getOrElseUpdate((s, dir),
       new graft.query.Searcher(docs(s, dir), "doc_id", "text", "source",
         spellErrorLines = Seq("spark: spqrk, sprak")))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A5: inverted postings with build-time tf (indexer.go:672-768)

@@ -199,7 +199,12 @@ object TextStats {
     }
     val corpusStream = stream(corpus)
     val uni = corpusStream.groupBy("term").agg(count(lit(1)).as("c"))
-    val n = corpusStream.count()
+    // N = sum of unigram counts — read off the (vocab-sized) aggregate
+    // instead of a third full tokenize+scan of the corpus. An empty corpus
+    // degenerates to N=1 so the OOV floor stays defined (the scored side is
+    // then judged entirely by the alpha floors).
+    val n = Option(uni.agg(sum("c")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L)
     val big = corpusStream.filter(col("prev").isNotNull)
       .groupBy(col("prev").as("w1"), col("term").as("w2"))
       .agg(count(lit(1)).as("c12"))

@@ -121,6 +121,17 @@ object Geofence {
     val spark = track.sparkSession
     import spark.implicits._
 
+    // empty fence set (a supported FenceStore state: collection exists, no
+    // circles yet): no statuses, like the reference's FenceIndex.Search
+    // over an empty index. Without this guard the zero-struct literal
+    // array() types as array<null> and the transform lambda's field
+    // extraction fails analysis.
+    if (fences.isEmpty)
+      return track
+        .select(col("event_id"), col("user_id"), col("ts"),
+          lit("").as("fence_key"), lit(0).as("seq"), lit("").as("status"))
+        .limit(0)
+
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val withPrev = track
       .withColumn("prev_lat", lag(col("lat"), 1, -999.0).over(w))

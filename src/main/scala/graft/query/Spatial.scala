@@ -109,11 +109,19 @@ object Spatial {
    * preserved because parent grid coords are child coords >> 1, so
    * |x1-x2| <= r implies |x1>>1 - x2>>1| <= ceil(r/2).
    */
-  private[query] def effectiveDisk(level: Int, r: Int): (Int, Int) = {
-    var lvl = level; var rad = r
-    while (rad > 2 && lvl > 1) { lvl -= 1; rad = (rad + 1) / 2 }
-    (lvl, rad)
+  /** The shared trade-level-for-radius rule: coarsen from `level` until the
+   *  per-level radius is <= 2 (disk <= 25 cells) or the grid bottoms out.
+   *  Every search-disk construction (kNN rings, nearest joins, way covers)
+   *  goes through this one invariant. */
+  private[query] def coarsen(level: Int, radAt: Int => Int): (Int, Int) = {
+    var lvl = level
+    while (radAt(lvl) > 2 && lvl > 1) lvl -= 1
+    (lvl, radAt(lvl))
   }
+
+  private[query] def effectiveDisk(level: Int, r: Int): (Int, Int) =
+    // halving a Chebyshev radius per level = ceil-dividing by 2^(level-lvl)
+    coarsen(level, lv => { val k = level - lv; math.max(1, (r + (1 << k) - 1) >> k) })
 
   /**
    * Batch kNN join: for EVERY query row (qid, qlat, qlon) find its k nearest
@@ -263,13 +271,15 @@ object Spatial {
     // would need r=13 -> 729 exploded rows per left row (measured 19 s at
     // sf0.1 before this fix).
     val l = left.select(min(col("lat")), max(col("lat"))).head()
+    if (l.isNullAt(0)) // empty left side: no pairs, keep the output schema
+      return left.limit(0).select(col("id").as("lid"))
+        .crossJoin(right.limit(0).select(col("id").as("rid")))
+        .withColumn("dist_km", lit(0.0))
     val bandLat = math.min(89.9,
       math.max(math.abs(l.getDouble(0)), math.abs(l.getDouble(1))) + maxKm / Cells.KmPerDegLat)
     def radAt(lv: Int): Int = math.max(1, math.ceil(maxKm /
       math.min(Cells.cellWidthKm(bandLat, lv), Cells.cellHeightKm(lv))).toInt)
-    var lvl = level
-    while (radAt(lvl) > 2 && lvl > 1) lvl -= 1
-    val r = radAt(lvl)
+    val (lvl, r) = coarsen(level, radAt)
     val lhs = left.select(col("id").as("lid"), col("lat").as("llat"), col("lon").as("llon"))
       .withColumn("jcell", explode(cellDisk(cellEncode(col("llat"), col("llon"), lit(lvl)), lit(r))))
     val rhs = right.select(col("id").as("rid"), col("lat").as("rlat"), col("lon").as("rlon"),
@@ -348,8 +358,10 @@ object Spatial {
         (la, lo) => haversineKm(anchorLat, anchorLon, la, lo)),
       lit(0.0), (acc, x) => greatest(acc, x))
     val stats = ways.agg(max(span), min(anchorLat), max(anchorLat)).head()
-    if (stats.isNullAt(0)) // no ways at all: no pairs to produce
-      return queries.sparkSession.emptyDataFrame
+    if (stats.isNullAt(0)) // no ways at all: no pairs, keep the output schema
+      return queries.limit(0).select(col("qid"))
+        .crossJoin(ways.limit(0).select(col("way_id")))
+        .withColumn("dist_km", lit(0.0))
     val spanKm = stats.getDouble(0)
     val coverKm = maxKm + spanKm
     val bandLat = math.min(89.9,
@@ -357,9 +369,7 @@ object Spatial {
         coverKm / Cells.KmPerDegLat)
     def radAt(lv: Int): Int = math.max(1, math.ceil(coverKm /
       math.min(Cells.cellWidthKm(bandLat, lv), Cells.cellHeightKm(lv))).toInt)
-    var lvl = level
-    while (radAt(lvl) > 2 && lvl > 1) lvl -= 1
-    val rad = radAt(lvl)
+    val (lvl, rad) = coarsen(level, radAt)
 
     val rhs = ways
       .withColumn("jcell",

@@ -25,14 +25,18 @@ import org.apache.spark.sql.streaming.Trigger
  */
 object DedupStream {
 
-  /** One representative row per `text` hash. `docs` must carry
-   *  (ts, doc_id, text); the emitted row is the first-seen one per key. */
+  /** One representative row per distinct `text`. `docs` must carry
+   *  (ts, doc_id, text); the emitted row is the first-seen one per key.
+   *  State is keyed on the FULL text, not a hash: a 64-bit hash key would
+   *  silently drop a distinct document on collision (statistically certain
+   *  at 10^12 rows), and the state store hashes its key anyway — exactness
+   *  costs only the stored key bytes, the same price the batch
+   *  groupBy(text) pays. */
   def dedup(docs: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
     docs
       .withColumn("ts", col("ts").cast("timestamp"))
-      .withColumn("text_hash", xxhash64(col("text")))
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("text_hash")
+      .dropDuplicatesWithinWatermark("text")
 
   /** Drive a batch table through the streaming dedup synchronously (memory
    *  sink, AvailableNow) — test/parity harness, same pattern as

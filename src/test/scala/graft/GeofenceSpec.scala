@@ -34,6 +34,15 @@ class GeofenceSpec extends AnyFunSuite {
       .select("event_id", "seq", "status").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
 
+  test("empty fence set: zero status rows, schema intact (FenceStore's empty-collection state)") {
+    val track = Seq((1L, 1L, ts(0), inside._1, inside._2))
+      .toDF("event_id", "user_id", "ts", "lat", "lon")
+    val out = Geofence.fenceStatus(track, Seq.empty)
+    assert(out.columns.toSeq ==
+      Seq("event_id", "user_id", "ts", "fence_key", "seq", "status"))
+    assert(out.count() == 0)
+  }
+
   test("IN->IN = INSIDE; IN->OUT = EXIT,OUTSIDE; OUT->IN = ENTER,INSIDE") {
     val out = runBatch(Seq(
       (1L, 1L, ts(0), inside._1, inside._2),   // first seen (prev sentinel): ENTER,INSIDE

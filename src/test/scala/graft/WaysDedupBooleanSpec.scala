@@ -40,6 +40,19 @@ class WaysDedupBooleanSpec extends AnyFunSuite {
     }
   }
 
+  test("empty inputs keep the output schemas: nearestWayJoin with no ways, nearestJoin with no left rows") {
+    val ways = Derived.ways(spark, TestSpark.Sf)
+    val queries = Derived.objects(spark, TestSpark.Sf).limit(3)
+      .select(col("id").as("qid"), col("lat").as("qlat"), col("lon").as("qlon"))
+    val noWays = Spatial.nearestWayJoin(queries, ways.filter(col("way_id") < 0), maxKm = 30.0)
+    assert(noWays.columns.toSeq == Seq("qid", "way_id", "dist_km"))
+    assert(noWays.count() == 0)
+    val objs = Derived.objects(spark, TestSpark.Sf)
+    val noLeft = Spatial.nearestJoin(objs.filter(col("id") < 0), objs, maxKm = 5.0)
+    assert(noLeft.columns.toSeq == Seq("lid", "rid", "dist_km"))
+    assert(noLeft.count() == 0)
+  }
+
   test("nearestWayJoin endpointsOnly reproduces GetFullAdress' single-segment projection (indexer.go:1004-1022)") {
     val ways = Derived.ways(spark, TestSpark.Sf).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray))
