@@ -109,6 +109,23 @@ object Images {
     out.map(_ & 0xffffff)
   }
 
+  /** Decode that survives corrupt rows: ImageIO returns null (or throws)
+   *  on undecodable bytes, and at 10^12 rows one bad row must not kill the
+   *job. Transform ops ([[resize]], [[features]]) SKIP corrupt rows; the
+   *  verification op ([[decodeVerify]]) REPORTS them (pixels_ok=false,
+   *  psnr4=-1) — filter-then-transform, never a crash, never a silent
+   *  pass. */
+  def tryDecode(bytes: Array[Byte]): Option[Array[Int]] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val out = new Array[Int](img.getWidth * img.getHeight)
+        img.getRGB(0, 0, img.getWidth, img.getHeight, out, 0, img.getWidth)
+        Some(out.map(_ & 0xffffff))
+      }
+    } catch { case _: Exception => None }
+
   /** PSNR (dB) between two RGB pixel arrays; +Inf for identical. */
   def psnrDb(a: Array[Int], b: Array[Int]): Double = {
     var se = 0.0
@@ -162,13 +179,17 @@ object Images {
       StructField("pixels_ok", BooleanType, nullable = false)))
     val checked = spark.createDataFrame(
       images.select("image_id", "bytes", "fmt").rdd.mapPartitions(_.map { r =>
-        val id = r.getString(0).stripPrefix("img_").toLong
-        val decoded = decode(r.getAs[Array[Byte]]("bytes"))
-        val expected = pixels(id)
-        val p = psnrDb(expected, decoded)
-        val ok = if (r.getString(2) == "png") decoded.sameElements(expected) else p >= 40.0
-        val pq = if (p.isInfinite) 9999999L else math.round(p * 10000)
-        Row(r.getString(0), r.getString(2), pq, ok)
+        tryDecode(r.getAs[Array[Byte]]("bytes")) match {
+          case None => // undecodable row: reported, not thrown
+            Row(r.getString(0), r.getString(2), -1L, false)
+          case Some(decoded) =>
+            val id = r.getString(0).stripPrefix("img_").toLong
+            val expected = pixels(id)
+            val p = psnrDb(expected, decoded)
+            val ok = if (r.getString(2) == "png") decoded.sameElements(expected) else p >= 40.0
+            val pq = if (p.isInfinite) 9999999L else math.round(p * 10000)
+            Row(r.getString(0), r.getString(2), pq, ok)
+        }
       }), outSchema)
     val capOk = images.select(col("image_id"), col("caption"))
       .withColumn("doc_id", substring(col("image_id"), 5, 12).cast("long"))
@@ -202,11 +223,12 @@ object Images {
   def resize(images: DataFrame, outW: Int, outH: Int): DataFrame = {
     val spark = images.sparkSession
     val rdd = images.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
-      .rdd.mapPartitions(_.map { r =>
-        val px = decode(r.getAs[Array[Byte]]("bytes"))
-        val rp = resizePx(px, r.getAs[Int]("w"), r.getAs[Int]("h"), outW, outH)
-        Row(r.getString(0), encodeWH(rp, outW, outH, "png"), outW, outH, "png",
-          r.getAs[String]("caption"), r.getAs[Long]("phash"))
+      .rdd.mapPartitions(_.flatMap { r =>
+        tryDecode(r.getAs[Array[Byte]]("bytes")).map { px =>
+          val rp = resizePx(px, r.getAs[Int]("w"), r.getAs[Int]("h"), outW, outH)
+          Row(r.getString(0), encodeWH(rp, outW, outH, "png"), outW, outH, "png",
+            r.getAs[String]("caption"), r.getAs[Long]("phash"))
+        } // corrupt rows are skipped; decodeVerify is where they surface
       })
     spark.createDataFrame(rdd, schema)
   }
@@ -224,12 +246,13 @@ object Images {
       StructField("mean_g4", LongType, nullable = false),
       StructField("mean_b4", LongType, nullable = false),
       StructField("ahash", LongType, nullable = false)))
-    val rdd = images.select("image_id", "bytes").rdd.mapPartitions(_.map { r =>
-      val px = decode(r.getAs[Array[Byte]]("bytes"))
-      var sr = 0L; var sg = 0L; var sb = 0L
-      px.foreach { p => sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff }
-      val n = px.length
-      Row(r.getString(0), sr * 10000 / n, sg * 10000 / n, sb * 10000 / n, phash(px))
+    val rdd = images.select("image_id", "bytes").rdd.mapPartitions(_.flatMap { r =>
+      tryDecode(r.getAs[Array[Byte]]("bytes")).map { px =>
+        var sr = 0L; var sg = 0L; var sb = 0L
+        px.foreach { p => sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff }
+        val n = px.length
+        Row(r.getString(0), sr * 10000 / n, sg * 10000 / n, sb * 10000 / n, phash(px))
+      } // corrupt rows are skipped; decodeVerify is where they surface
     })
     spark.createDataFrame(rdd, outSchema)
   }

@@ -43,6 +43,28 @@ class ImagesSpec extends AnyFunSuite {
     assert(verified.filter(col("fmt") === "jpeg" && col("psnr4") < 400000L).count() == 0)
   }
 
+  test("corrupt bytes: transforms skip the row, decodeVerify reports it, nothing crashes") {
+    import org.apache.spark.sql.Row
+    val good = Images.imageTable(spark, TestSpark.Sf).limit(3)
+    val corrupt = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("img_000000999999", Array[Byte](1, 2, 3), Images.W, Images.H,
+          "png", "broken", 0L)), 1), Images.schema)
+    val mixed = good.unionByName(corrupt)
+    // transforms: corrupt row skipped, good rows intact
+    assert(Images.resize(mixed, 8, 8).count() == 3)
+    assert(Images.features(mixed).count() == 3)
+    // verification: corrupt row REPORTED as pixels_ok=false / psnr4=-1
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq((999999L, "broken")).toDF("doc_id", "text"))
+    val v = Images.decodeVerify(mixed, docs)
+    val bad = v.filter(col("image_id") === "img_000000999999").collect()
+    assert(bad.length == 1)
+    assert(!bad(0).getAs[Boolean]("pixels_ok") && bad(0).getAs[Long]("psnr4") == -1L)
+  }
+
   test("resizePx: dims, determinism, constant color preserved") {
     val flat = Array.fill(16 * 16)(0x336699)
     val small = Images.resizePx(flat, 16, 16, 4, 4)
