@@ -102,16 +102,14 @@ object Images {
     bos.toByteArray
   }
 
-  def decode(bytes: Array[Byte]): Array[Int] = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
-    val out = new Array[Int](img.getWidth * img.getHeight)
-    img.getRGB(0, 0, img.getWidth, img.getHeight, out, 0, img.getWidth)
-    out.map(_ & 0xffffff)
-  }
+  /** Strict decode for trusted bytes (tests, freshly-encoded buffers). */
+  def decode(bytes: Array[Byte]): Array[Int] =
+    tryDecode(bytes).getOrElse(
+      throw new IllegalArgumentException("undecodable image bytes"))
 
   /** Decode that survives corrupt rows: ImageIO returns null (or throws)
    *  on undecodable bytes, and at 10^12 rows one bad row must not kill the
-   *job. Transform ops ([[resize]], [[features]]) SKIP corrupt rows; the
+   *  job. Transform ops ([[resize]], [[features]]) SKIP corrupt rows; the
    *  verification op ([[decodeVerify]]) REPORTS them (pixels_ok=false,
    *  psnr4=-1) — filter-then-transform, never a crash, never a silent
    *  pass. */
@@ -179,22 +177,28 @@ object Images {
       StructField("pixels_ok", BooleanType, nullable = false)))
     val checked = spark.createDataFrame(
       images.select("image_id", "bytes", "fmt").rdd.mapPartitions(_.map { r =>
-        tryDecode(r.getAs[Array[Byte]]("bytes")) match {
-          case None => // undecodable row: reported, not thrown
-            Row(r.getString(0), r.getString(2), -1L, false)
-          case Some(decoded) =>
-            val id = r.getString(0).stripPrefix("img_").toLong
+        val decodedOpt = tryDecode(r.getAs[Array[Byte]]("bytes"))
+        // a malformed id is corruption too: no expected matrix to verify
+        // against — reported like undecodable bytes, never thrown
+        val idOpt = scala.util.Try(r.getString(0).stripPrefix("img_").toLong).toOption
+        (decodedOpt, idOpt) match {
+          case (Some(decoded), Some(id)) =>
             val expected = pixels(id)
             val p = psnrDb(expected, decoded)
             val ok = if (r.getString(2) == "png") decoded.sameElements(expected) else p >= 40.0
             val pq = if (p.isInfinite) 9999999L else math.round(p * 10000)
             Row(r.getString(0), r.getString(2), pq, ok)
+          case _ => Row(r.getString(0), r.getString(2), -1L, false)
         }
       }), outSchema)
+    // LEFT join: a row whose doc_id has no documents match must still be
+    // REPORTED (caption_ok=false), not silently dropped from the verify
+    // output by an inner join
     val capOk = images.select(col("image_id"), col("caption"))
       .withColumn("doc_id", substring(col("image_id"), 5, 12).cast("long"))
-      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select(col("image_id"), (col("caption") === col("text")).as("caption_ok"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"), "left")
+      .select(col("image_id"),
+        coalesce(col("caption") === col("text"), lit(false)).as("caption_ok"))
     checked.join(capOk, Seq("image_id"))
   }
 

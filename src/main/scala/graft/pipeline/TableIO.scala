@@ -34,6 +34,26 @@ object TableIO {
   def manifestPath(dir: String, name: String): java.nio.file.Path =
     Paths.get(dir, name, "_lineage.json")
 
+  /** Per-partition lineage: rows per physical input split of the persisted
+   *  table (stable across re-reads — derived from file names). The
+   *  partition directory (e.g. bucket=7/part-...) is kept so lineage
+   *  identifies the physical partition, not just a basename; the stage
+   *  prefix is stripped by the last `/name/` marker — scanning for a path
+   *  component equal to `name` would break when an ancestor directory
+   *  shares the stage name. */
+  private def lineage(written: DataFrame, name: String): Array[(String, Long)] =
+    written.select(input_file_name().as("file"))
+      .groupBy("file").agg(count(lit(1)).as("rows"))
+      .collect()
+      .map { r =>
+        val uri = r.getString(0)
+        val marker = s"/$name/"
+        val idx = uri.lastIndexOf(marker)
+        val rel = if (idx >= 0) uri.substring(idx + marker.length)
+          else uri.split("/").last
+        (rel, r.getLong(1))
+      }.sortBy(_._1)
+
   def isComplete(dir: String, name: String): Boolean =
     Files.exists(manifestPath(dir, name)) &&
       Files.exists(Paths.get(dir, name, "_SUCCESS"))
@@ -56,25 +76,7 @@ object TableIO {
     val writer = if (partitionBy.nonEmpty) writer0.partitionBy(partitionBy: _*) else writer0
     writer.parquet(path)
     val written = spark.read.parquet(path)
-
-    // per-partition lineage: rows per physical input split of the persisted
-    // table (stable across re-reads — derived from file names)
-    val perFile = written.select(input_file_name().as("file"))
-      .groupBy("file").agg(count(lit(1)).as("rows"))
-      .collect()
-      .map { r =>
-        // keep the partition directory (e.g. bucket=7/part-...) so lineage
-        // identifies the physical partition, not just a basename. Strip the
-        // known stage-directory prefix from the URI — scanning for a path
-        // component equal to `name` would break when an ancestor directory
-        // shares the stage name or when the name never appears verbatim.
-        val uri = r.getString(0)
-        val marker = s"/$name/"
-        val idx = uri.lastIndexOf(marker)
-        val rel = if (idx >= 0) uri.substring(idx + marker.length)
-          else uri.split("/").last
-        (rel, r.getLong(1))
-      }.sortBy(_._1)
+    val perFile = lineage(written, name)
     val totalRows = perFile.map(_._2).sum
     val perFileJson = perFile.map { case (f, n) => s"""{"file": "${esc(f)}", "rows": $n}""" }
     val wallSec = (System.nanoTime() - t0) / 1e9
@@ -109,22 +111,63 @@ object TableIO {
    * `read.parquet` of the same path would silently drop the bucket
    * metadata and re-shuffle).
    */
+  /** Reverse of [[esc]] for manifest string fields. */
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case '"' => b += '"'; i += 2
+        case '\\' => b += '\\'; i += 2
+        case 'n' => b += '\n'; i += 2
+        case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+        case c => b += c; i += 2
+      } else { b += s.charAt(i); i += 1 }
+    }
+    b.toString
+  }
+
+  /** JSON string field extractor that respects escapes (a naive non-greedy
+   *  `.*?` would stop at the first escaped quote). */
+  private def manifestField(manifest: String, field: String): Option[String] =
+    (s""""$field": "((?:[^"\\\\]|\\\\.)*)"""").r
+      .findFirstMatchIn(manifest).map(m => unesc(m.group(1)))
+  private def manifestLong(manifest: String, field: String): Option[Long] =
+    (s""""$field": (\\d+)""").r.findFirstMatchIn(manifest).map(_.group(1).toLong)
+
   def bucketedStage(spark: SparkSession, dir: String, name: String,
                     key: String, nBuckets: Int)
                    (compute: => DataFrame): DataFrame = {
-    val tbl = s"graft_${name}_by_$key"
     val path = s"$dir/$name"
+    // the catalog name carries the DIRECTORY (stages with the same name in
+    // two output dirs are different tables) — a dir-less name would make
+    // the tableExists shortcut silently return the other dir's data
+    val tbl = f"graft_${name}_by_${key}_${path.hashCode & 0x7fffffff}%08x"
     def ddl(schema: String) =
       s"""CREATE TABLE $tbl ($schema) USING parquet
          |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
          |LOCATION '$path'""".stripMargin
-    if (spark.catalog.tableExists(tbl)) return spark.table(tbl)
+    def requireLayout(manifest: String): Unit = {
+      // the physical files are bucketed by the RECORDED layout; declaring a
+      // different one would make Spark elide shuffles it must not elide
+      // (silently wrong joins), so a mismatch fails loudly
+      val mKey = manifestField(manifest, "bucket_key")
+      val mN = manifestLong(manifest, "n_buckets")
+      require(mKey.contains(key) && mN.contains(nBuckets.toLong),
+        s"stage $name at $path is bucketed by (${mKey.orNull}, ${mN.orNull}) " +
+          s"but was requested as ($key, $nBuckets); delete the stage to re-bucket")
+    }
+    if (spark.catalog.tableExists(tbl)) {
+      requireLayout(Files.readString(manifestPath(dir, name)))
+      return spark.table(tbl)
+    }
     if (isComplete(dir, name)) {
       // resume in a fresh session: re-register over the existing files
       val manifest = Files.readString(manifestPath(dir, name))
-      val m = """"bucket_ddl_schema": "(.*?)"""".r.findFirstMatchIn(manifest)
+      requireLayout(manifest)
+      val schemaDdl = manifestField(manifest, "bucket_ddl_schema")
         .getOrElse(sys.error(s"stage $name exists but has no bucket_ddl_schema"))
-      spark.sql(ddl(m.group(1).replace("\\\"", "\"")))
+      spark.sql(ddl(schemaDdl))
       return spark.table(tbl)
     }
     val t0 = System.nanoTime()
@@ -134,7 +177,11 @@ object TableIO {
       .option("path", path)
       .saveAsTable(tbl)
     val written = spark.table(tbl)
-    val totalRows = written.count()
+    // same per-partition lineage as stage() — also yields the row count
+    // without a dedicated full-table count pass
+    val perFile = lineage(written, name)
+    val totalRows = perFile.map(_._2).sum
+    val perFileJson = perFile.map { case (f, n) => s"""{"file": "${esc(f)}", "rows": $n}""" }
     val wallSec = (System.nanoTime() - t0) / 1e9
     val manifest =
       s"""{
@@ -144,7 +191,8 @@ object TableIO {
          |  "schema": "${esc(df.schema.simpleString)}",
          |  "bucket_key": "${esc(key)}",
          |  "n_buckets": $nBuckets,
-         |  "bucket_ddl_schema": "${esc(df.schema.toDDL)}"
+         |  "bucket_ddl_schema": "${esc(df.schema.toDDL)}",
+         |  "partitions": [${perFileJson.mkString(", ")}]
          |}""".stripMargin
     Files.write(manifestPath(dir, name), manifest.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)

@@ -209,7 +209,12 @@ object Spatial {
       r *= 2
       round += 1
     }
-    acc.getOrElse(spark.emptyDataFrame)
+    // empty query set / nothing converged: keep the (qid, id, dist_km, rn)
+    // output schema so callers' selections still resolve
+    acc.getOrElse(
+      queries.limit(0).select(col("qid"))
+        .crossJoin(points.limit(0).select(col("id")))
+        .withColumn("dist_km", lit(0.0)).withColumn("rn", lit(0)))
   }
 
   /** Range (bbox) search — R-tree Search equivalent (rtree.go:505-531). */
@@ -253,7 +258,9 @@ object Spatial {
     val tiles = Cells.coverBBox(latMin, lonMin, latMax, lonMax, coarseLevel)
     val pruned = spark.read.parquet(path)
       .filter(col("tile").isin(tiles.map(java.lang.Long.valueOf): _*))
-    rangeSearch(pruned, latMin, lonMin, latMax, lonMax, level)
+    // drop the synthetic partition column so the result schema really is
+    // identical to rangeSearch over the original table
+    rangeSearch(pruned, latMin, lonMin, latMax, lonMax, level).drop("tile")
   }
 
   /**

@@ -28,6 +28,8 @@ class SpatialStoreSpec extends AnyFunSuite {
     val fromDisk = tiled.select("id").collect().map(_.getLong(0)).sorted
     assert(fromDisk.nonEmpty, "bbox matched nothing — fixture bbox is wrong")
     assert(fromDisk.toSeq == inMem.toSeq)
+    // schema parity: the synthetic tile partition column must not leak out
+    assert(tiled.columns.sorted.toSeq == objs.columns.sorted.toSeq)
 
     // the tile predicate must be a PartitionFilter on the scan
     val plan = tiled.queryExecution.executedPlan.toString

@@ -74,11 +74,25 @@ class TableIOSpec extends AnyFunSuite {
 
     // resume in a "fresh catalog": drop the table, stage must re-register
     // from the manifest DDL without recomputing, bucketing intact
-    spark.sql("DROP TABLE graft_postings_b_by_term")
+    val tbl = spark.catalog.listTables().collect().map(_.name)
+      .find(_.startsWith("graft_postings_b_by_term")).get
+    spark.sql(s"DROP TABLE $tbl")
     val resumed = TableIO.bucketedStage(spark, dir, "postings_b", "term", 8)(build())
     assert(resumed.count() == 2000 && computeRuns == 1,
       "bucketed stage recomputed despite completed manifest")
     assert(!plan(resumed.groupBy("term").count()).contains("Exchange hashpartitioning"),
       "re-registered table lost its bucketing")
+
+    // a changed layout must fail loudly, never re-register a wrong DDL over
+    // files physically bucketed another way (silently wrong joins)
+    intercept[IllegalArgumentException] {
+      TableIO.bucketedStage(spark, dir, "postings_b", "term", 16)(build())
+    }
+    intercept[IllegalArgumentException] {
+      TableIO.bucketedStage(spark, dir, "postings_b", "doc_id", 8)(build())
+    }
+    // per-partition lineage is recorded for bucketed stages too
+    val manifest = java.nio.file.Files.readString(TableIO.manifestPath(dir, "postings_b"))
+    assert(manifest.contains("\"partitions\"") && manifest.contains("\"rows\": 2000"))
   }
 }
