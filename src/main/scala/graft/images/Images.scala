@@ -182,7 +182,10 @@ object Images {
         // against — reported like undecodable bytes, never thrown
         val idOpt = scala.util.Try(r.getString(0).stripPrefix("img_").toLong).toOption
         (decodedOpt, idOpt) match {
-          case (Some(decoded), Some(id)) =>
+          // a decodable image of the WRONG size is corruption too (e.g.
+          // truncated-but-valid bytes): psnrDb would index past the
+          // shorter array — report it, don't let the comparison throw
+          case (Some(decoded), Some(id)) if decoded.length == W * H =>
             val expected = pixels(id)
             val p = psnrDb(expected, decoded)
             val ok = if (r.getString(2) == "png") decoded.sameElements(expected) else p >= 40.0

@@ -198,14 +198,14 @@ object TextStats {
         .select(col("doc_id"), col("s.term"), col("s.prev"))
     }
     val corpusStream = stream(corpus)
-    // cached: the vocab-sized unigram table is read three times — the N
-    // action below and both count joins in the scoring plan — and caching
-    // it means the corpus is tokenized+scanned once for unigrams instead
-    // of once per consumer
-    val uni = corpusStream.groupBy("term").agg(count(lit(1)).as("c")).cache()
-    // N = sum of unigram counts, read off the cached aggregate. An empty
-    // corpus degenerates to N=1 so the OOV floor stays defined (the scored
-    // side is then judged entirely by the alpha floors).
+    val uni = corpusStream.groupBy("term").agg(count(lit(1)).as("c"))
+    // N = sum of unigram counts: one extra unigram-aggregation job up
+    // front (deliberately NOT .cache()d — a cache pinned inside a library
+    // call leaks storage memory for the session's lifetime with no owner
+    // to unpersist it; callers scoring repeatedly should persist the
+    // corpus token stream themselves). An empty corpus degenerates to N=1
+    // so the OOV floor stays defined (the scored side is then judged
+    // entirely by the alpha floors).
     val n = Option(uni.agg(sum("c")).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(1L)
     val big = corpusStream.filter(col("prev").isNotNull)

@@ -120,7 +120,14 @@ object TableIO {
         case '"' => b += '"'; i += 2
         case '\\' => b += '\\'; i += 2
         case 'n' => b += '\n'; i += 2
-        case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+        case 'u' =>
+          // a truncated/garbled \u escape means manifest corruption — fail
+          // with a descriptive error, not an index/number exception
+          if (i + 6 > s.length) sys.error(s"corrupt manifest escape in: $s")
+          val hex = s.substring(i + 2, i + 6)
+          require(hex.forall(c => Character.digit(c, 16) >= 0),
+            s"corrupt manifest escape \\u$hex")
+          b += Integer.parseInt(hex, 16).toChar; i += 6
         case c => b += c; i += 2
       } else { b += s.charAt(i); i += 1 }
     }
@@ -157,11 +164,19 @@ object TableIO {
         s"stage $name at $path is bucketed by (${mKey.orNull}, ${mN.orNull}) " +
           s"but was requested as ($key, $nBuckets); delete the stage to re-bucket")
     }
-    if (spark.catalog.tableExists(tbl)) {
+    val registered = spark.catalog.tableExists(tbl)
+    if (registered && isComplete(dir, name)) {
       requireLayout(Files.readString(manifestPath(dir, name)))
+      // the hash-suffixed name is collision-resistant, not collision-free:
+      // verify the registered table really points at THIS stage directory
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location
+      val canonical = new java.io.File(path).getCanonicalPath
+      require(new java.io.File(loc.getPath).getCanonicalPath == canonical,
+        s"catalog table $tbl points at ${loc.getPath}, not $canonical — name collision")
       return spark.table(tbl)
     }
-    if (isComplete(dir, name)) {
+    if (!registered && isComplete(dir, name)) {
       // resume in a fresh session: re-register over the existing files
       val manifest = Files.readString(manifestPath(dir, name))
       requireLayout(manifest)
@@ -170,6 +185,10 @@ object TableIO {
       spark.sql(ddl(schemaDdl))
       return spark.table(tbl)
     }
+    // registered but NOT complete: a previous attempt died between
+    // saveAsTable and the manifest write — drop the half-registered table
+    // and recompute instead of failing on the missing manifest forever
+    if (registered) spark.sql(s"DROP TABLE IF EXISTS $tbl")
     val t0 = System.nanoTime()
     val df = compute
     df.write.mode("overwrite")
