@@ -159,6 +159,11 @@ object MlQueries {
         .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // X8: PII/identifier redaction (emails, long digit runs) — the
+    // standard curation scrub, per-row regexp chain, byte-compared twin
+    "x8_redact" -> ((s, dir) =>
+      TextStats.redact(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+
     // F17: image decode + PSNR per-row invariant (input_hint) — rows-only
     "f17_image_verify" -> ((s, dir) => {
       val imgs = Images.imageTable(s, dir)
@@ -342,6 +347,10 @@ object MlQueries {
 
     "x6_repetition" ->
       s"""SELECT doc_id, ${TextStats.repetitionSqlSelect("text").mkString(", ")}
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x8_redact" ->
+      s"""SELECT doc_id, ${TextStats.redactSql("text")} AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x7_sample" -> {

@@ -151,6 +151,29 @@ object TextStats {
       s"${Derived.q4Sql(s"CASE WHEN len($t) >= 3 THEN 1.0 - CAST(len(list_distinct($g)) AS DOUBLE) / (len($t) - 2) ELSE 0.0 END")} AS rep4")
   }
 
+  /** Conservative ASCII-only patterns chosen to behave identically under
+   *  Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround, no
+   *  unicode classes. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberPattern = "[0-9]{3,}"
+
+  /**
+   * PII / identifier scrubbing — the standard curation redaction step:
+   * emails -> <EMAIL>, digit runs of 3+ -> <NUM>. Pure per-row
+   * `regexp_replace` chain (codegen'd, no shuffle) with a byte-identical
+   * DuckDB twin (x8). Order matters: emails first, so an address with a
+   * numeric local part is one <EMAIL>, not part-<NUM>.
+   */
+  def redact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        LongNumberPattern, "<NUM>").as("redacted"))
+
+  def redactSql(textExpr: String): String =
+    s"regexp_replace(regexp_replace($textExpr, '$EmailPattern', '<EMAIL>', 'g'), " +
+      s"'$LongNumberPattern', '<NUM>', 'g')"
+
   /** Stupid-backoff discount (same constant as the reference's query LM,
    *  ngram_lm.go stupidBackoff / SURVEY F14). */
   val LmAlpha = 0.4

@@ -57,6 +57,17 @@ class TextStatsSpec extends AnyFunSuite {
     assert(half.subsetOf(kept) && half.size > 20 && half.size < 80)
   }
 
+  test("redaction: emails before digit runs, short numbers kept") {
+    val docs = Seq(
+      (1L, "contact bob99@example.co.id or call 0812345 ext 12"),
+      (2L, "no pii here")
+    ).toDF("doc_id", "text")
+    val out = TextStats.redact(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contact <EMAIL> or call <NUM> ext 12")
+    assert(out(2L) == "no pii here")
+  }
+
   test("cross-corpus scoring: seen bigram, backoff, and OOV floor goldens") {
     val docs = Seq((10L, "a b"), (11L, "b c"), (12L, "z a")).toDF("doc_id", "text")
     val out = TextStats.lmScoreAgainst(docs, corpus, "doc_id", "text")
