@@ -64,6 +64,16 @@ object MlQueries {
       Dedup.simhashWith(docs(s, dir), "doc_id", "text", Dedup.md5Hash60, 60)
         .orderBy(col("doc_id"))),
 
+    // D6: near-dup CLUSTERS — connected components over the minhash
+    // candidate-pair graph (distributed min-label propagation, the step a
+    // dedup pipeline runs after banding), keep = min doc_id per component
+    "d6_dup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < MinhashMaxId)
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(d, "doc_id", "text"))
+      Dedup.dupClusters(d, "doc_id", pairs).orderBy(col("doc_id"))
+    }),
+
     // E1: exact brute-force cosine top-k vs the vec_id=1 embedding
     "e1_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -186,7 +196,10 @@ object MlQueries {
        |  unnest(list_transform(range(1, len(t) - 1), i -> substr(t, CAST(i AS INTEGER), 3))) AS s
        |  FROM d WHERE len(t) >= 3)""".stripMargin
 
-  private def minhashSql: String = {
+  /** Shared CTE chain ending in `pairs`(id1, id2) — the DuckDB twin of
+   *  minhashSignatures + minhashCandidates, reused by d3 (the pair list)
+   *  and d6 (components over the pair graph). */
+  private def minhashPairCtes: String = {
     import Dedup.MinHash._
     val code = codeSql("s")
     val hs = (0 until NumHashes).map(i =>
@@ -197,17 +210,20 @@ object MlQueries {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH ${shingleCte(MinhashMaxId)},
+    s"""${shingleCte(MinhashMaxId)},
        |sig AS (SELECT doc_id,
        |    $hs
        |  FROM sh GROUP BY doc_id),
        |bands AS (
-       |  $bandSelects)
-       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |ORDER BY id1, id2""".stripMargin
+       |  $bandSelects),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private def minhashSql: String =
+    s"""WITH $minhashPairCtes
+       |SELECT id1, id2 FROM pairs ORDER BY id1, id2""".stripMargin
 
   /** DuckDB twin of [[Ann.lshSignature]]: hyperplane h(j,d) =
    *  ((j*73856093 + d*19349663 + 83492791) % 2000001)/1e6 - 1 (pure integer
@@ -244,6 +260,20 @@ object MlQueries {
          |ORDER BY id1, id2""".stripMargin,
 
     "d3_minhash" -> minhashSql,
+
+    // components as an independent recursive-CTE transitive closure (the
+    // same oracle pattern as g7_vectorize), over the same pair CTEs as d3
+    "d6_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |nodes AS (SELECT doc_id FROM documents WHERE doc_id < $MinhashMaxId),
+         |sym AS (SELECT id1, id2 FROM pairs
+         |  UNION ALL SELECT id2 AS id1, id1 AS id2 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.id1, reach.r FROM sym e JOIN reach ON e.id2 = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS keep_id FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // portable simhash: md5-60-bit term hash (top 60 bits of the digest,
     // exact in both engines), ±1 bit sums over token OCCURRENCES, majority

@@ -143,6 +143,21 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /**
+   * Near-duplicate CLUSTERS from a candidate-pair graph (the step after
+   * banding): connected components via the shared min-label engine
+   * ([[Components.minLabel]]), representative = min doc id per component.
+   * Output: (doc_id, keep_id) for EVERY input doc — singletons keep
+   * themselves — the table a dedup pipeline joins against to drop or
+   * collapse duplicates. Pair graphs from banding are short-diameter by
+   * construction (dups of one document band together), so the propagation
+   * converges in a handful of rounds.
+   */
+  def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    Components.minLabel(docs.select(col(idCol).as("id")),
+        pairs.select(col("id1"), col("id2")))
+      .select(col("id").as("doc_id"), col("comp").as("keep_id"))
+
   /** Cross-engine 60-bit term hash: the first 15 hex chars of md5, i.e. the
    *  top 60 bits of the digest. Exactly reproducible in DuckDB as
    *  `CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)`, which is what gives

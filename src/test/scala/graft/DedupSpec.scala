@@ -53,6 +53,14 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("dupClusters: transitive pairs collapse to min id, singletons keep themselves") {
+    val nodes = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val out = Dedup.dupClusters(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("md5Hash60: first 60 md5 bits, exact cross-engine goldens") {
     // goldens = int(hashlib.md5(s).hexdigest()[:15], 16) — the same value
     // DuckDB's CAST('0x' || substr(md5(s),1,15) AS BIGINT) produces
