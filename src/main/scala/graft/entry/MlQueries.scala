@@ -175,15 +175,38 @@ object MlQueries {
       TextStats.redact(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
 
     // F17: image decode + PSNR per-row invariant (input_hint) — rows-only
+    // (the JPEG half's PSNR is codec-dependent; the PNG half is value-level
+    // oracled as f17b below, and tools/image_twin.py decodes the PNG bytes
+    // with an independent non-JVM decoder)
     "f17_image_verify" -> ((s, dir) => {
       val imgs = Images.imageTable(s, dir)
       Images.decodeVerify(imgs, docs(s, dir)).orderBy(col("image_id"))
     }),
 
-    // G2: image table tile assignment from phash-derived coordinates
+    // F17b: the lossless half of the decode-verify invariant, value-level
+    // oracled — PNG decode must reproduce the expected pixel matrix EXACTLY
+    // (psnr4 = sentinel 9999999, pixels_ok, caption_ok), which DuckDB can
+    // assert by re-deriving the matrix arithmetically from doc_id
+    "f17b_verify_png" -> ((s, dir) => {
+      val imgs = Images.imageTable(s, dir).filter(col("fmt") === "png")
+      Images.decodeVerify(imgs, docs(s, dir)).orderBy(col("image_id"))
+    }),
+
+    // F19b: feature extraction over the DECODED png pixels — channel means
+    // and aHash get an exact DuckDB twin (decoded == derived matrix for the
+    // lossless format), so the decode→feature path is engine-independently
+    // value-checked; f19 keeps the mixed-format rows-only run
+    "f19b_features_png" -> ((s, dir) =>
+      Images.features(Images.imageTable(s, dir).filter(col("fmt") === "png"))
+        .orderBy(col("image_id"))),
+
+    // G2: image table tile assignment from phash-derived coordinates —
+    // value-level oracled end to end: DuckDB re-derives phash (LCG pixels →
+    // gray → 8x8 aHash, 64-bit wraparound emulated in HUGEINT) and the
+    // Morton cell from doc_id in pure SQL (imagePixelCtes)
     "g2_image_tiles" -> ((s, dir) =>
       Images.withGeo(Images.imageTable(s, dir))
-        .select(col("image_id"), col("cell")).orderBy(col("image_id")))
+        .select(col("image_id"), col("phash"), col("cell")).orderBy(col("image_id")))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -243,7 +266,93 @@ object MlQueries {
        |    SUM(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0 END) AS bucket
        |  FROM dots GROUP BY 1)""".stripMargin
 
+  /**
+   * CTE chain re-deriving the synthetic image table's pixel statistics from
+   * doc_id in PURE SQL — the DuckDB twin of [[Images.pixels]] (LCG-seeded
+   * channel gradients), [[Images.phash]] (8x8 aHash) and [[Images.withGeo]]
+   * (phash → lat/lon → Morton cell). 64-bit wraparound arithmetic is
+   * emulated in HUGEINT (s*M+C mod 2^64); `(s >>> 40) & 0xff` becomes
+   * `// 2^40 % 256` on the unsigned residue. Ends with CTEs:
+   *   feats(id, mean_r4, mean_g4, mean_b4)  — channel means ×10000
+   *   ph(id, p)                             — phash as unsigned HUGEINT
+   *   mort(id, p, m)                        — Morton interleave of tile x/y
+   * Validated cell-for-cell against the engine (g2/f19b correctness gate).
+   */
+  private def imagePixelCtes: String = {
+    val M = "6364136223846793005"; val C = "1442695040888963407"
+    val T64 = "18446744073709551616"
+    val lcg = (1 to 9).map { k =>
+      val prev = if (k == 1) "lcg0" else s"lcg${k - 1}"
+      s"lcg$k AS (SELECT id, (s * $M + $C) % $T64 AS s, " +
+        s"CAST(((s * $M + $C) % $T64) // 1099511627776 % 256 AS BIGINT) AS v FROM $prev)"
+    }.mkString(",\n")
+    s"""ids AS (SELECT doc_id AS id FROM documents),
+       |lcg0 AS (SELECT id, ((CAST(id AS HUGEINT) * $M + $C) % $T64 + $T64) % $T64 AS s FROM ids),
+       |$lcg,
+       |params AS (SELECT lcg1.id, lcg1.v AS r0, lcg2.v AS g0, lcg3.v AS b0,
+       |    lcg4.v % 9 - 4 AS rx, lcg5.v % 9 - 4 AS ry, lcg6.v % 9 - 4 AS gx,
+       |    lcg7.v % 9 - 4 AS gy, lcg8.v % 9 - 4 AS bx, lcg9.v % 9 - 4 AS by
+       |  FROM lcg1 JOIN lcg2 USING(id) JOIN lcg3 USING(id) JOIN lcg4 USING(id)
+       |    JOIN lcg5 USING(id) JOIN lcg6 USING(id) JOIN lcg7 USING(id)
+       |    JOIN lcg8 USING(id) JOIN lcg9 USING(id)),
+       |px AS (SELECT id, i % 16 AS x, i // 16 AS y,
+       |    least(greatest(r0 + rx*(i%16) + ry*(i//16), 0), 255) AS r,
+       |    least(greatest(g0 + gx*(i%16) + gy*(i//16), 0), 255) AS g,
+       |    least(greatest(b0 + bx*(i%16) + by*(i//16), 0), 255) AS b
+       |  FROM params, (SELECT unnest(range(256)) AS i)),
+       |feats AS (SELECT id, CAST(SUM(r)*10000 // 256 AS BIGINT) AS mean_r4,
+       |    CAST(SUM(g)*10000 // 256 AS BIGINT) AS mean_g4,
+       |    CAST(SUM(b)*10000 // 256 AS BIGINT) AS mean_b4 FROM px GROUP BY id),
+       |gray AS (SELECT id, x, y, (r*299 + g*587 + b*114) // 1000 AS gv FROM px),
+       |hcells AS (SELECT id, x // 2 AS cx, y // 2 AS cy, SUM(gv) // 4 AS cv
+       |  FROM gray GROUP BY 1, 2, 3),
+       |hmean AS (SELECT id, SUM(cv) // 64 AS mean FROM hcells GROUP BY 1),
+       |ph AS (SELECT c.id,
+       |    SUM(CASE WHEN c.cv > hm.mean
+       |        THEN CAST(1 AS HUGEINT) << CAST(c.cy*8 + c.cx AS INTEGER) ELSE 0 END) AS p
+       |  FROM hcells c JOIN hmean hm ON c.id = hm.id GROUP BY c.id),
+       |geo AS (SELECT id, p,
+       |    -8.0 + 2.0 * (CAST(p // 4294967296 AS DOUBLE) / 4294967296.0) AS lat,
+       |    106.0 + 5.0 * (CAST(p % 4294967296 AS DOUBLE) / 4294967296.0) AS lon
+       |  FROM ph),
+       |txy AS (SELECT id, p,
+       |    CAST(least(greatest(floor((lon + 180.0) / 360.0 * 8192), 0), 8191) AS BIGINT) AS tx,
+       |    CAST(least(greatest(floor((lat + 90.0) / 180.0 * 8192), 0), 8191) AS BIGINT) AS ty
+       |  FROM geo),
+       |mort AS (SELECT id, p, CAST(SUM(
+       |      ((tx >> CAST(b AS INTEGER)) & 1) * (CAST(1 AS BIGINT) << CAST(2*b AS INTEGER)) +
+       |      ((ty >> CAST(b AS INTEGER)) & 1) * (CAST(1 AS BIGINT) << CAST(2*b + 1 AS INTEGER))
+       |    ) AS BIGINT) AS m
+       |  FROM txy, (SELECT unnest(range(13)) AS b) GROUP BY id, p)""".stripMargin
+  }
+
+  /** 'img_%012d' — the image_id format of [[Images.imageTable]]. */
+  private val imageIdSql = "'img_' || lpad(CAST(id AS VARCHAR), 12, '0')"
+  /** unsigned HUGEINT phash `p` → the signed 64-bit value Spark stores. */
+  private val signedPhashSql =
+    "CAST(CASE WHEN p >= 9223372036854775808 THEN p - 18446744073709551616 ELSE p END AS BIGINT)"
+
   val oracles: Map[String, String] = Map(
+    "g2_image_tiles" ->
+      s"""WITH $imagePixelCtes
+         |SELECT $imageIdSql AS image_id, $signedPhashSql AS phash,
+         |  (m << 5) | 13 AS cell
+         |FROM mort ORDER BY image_id""".stripMargin,
+
+    "f19b_features_png" ->
+      s"""WITH $imagePixelCtes
+         |SELECT $imageIdSql AS image_id, f.mean_r4, f.mean_g4, f.mean_b4,
+         |  $signedPhashSql AS ahash
+         |FROM mort JOIN feats f USING (id)
+         |WHERE id % 2 = 0 ORDER BY image_id""".stripMargin,
+
+    // the lossless invariant itself: exact decode (sentinel psnr4), pixel
+    // and caption equality for every png row
+    "f17b_verify_png" ->
+      s"""SELECT 'img_' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id,
+         |  'png' AS fmt, CAST(9999999 AS BIGINT) AS psnr4,
+         |  true AS pixels_ok, true AS caption_ok
+         |FROM documents WHERE doc_id % 2 = 0 ORDER BY image_id""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -3,7 +3,7 @@ package graft.entry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Cells
+import graft.functions.GeoFunctions
 import graft.pipeline.Skew
 import graft.sources.Derived
 
@@ -24,8 +24,8 @@ object SkewQueries {
   private def objects(s: SparkSession, dir: String) =
     Derived.objects(s, dir, level = BaseLevel)
 
-  private val xUdf = udf((c: Long) => Cells.x(c))
-  private val yUdf = udf((c: Long) => Cells.y(c))
+  private val xUdf = GeoFunctions.cellX _
+  private val yUdf = GeoFunctions.cellY _
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G3: adaptive cell splitting, one refinement round — overfull level-8

@@ -65,14 +65,11 @@ object SpatialQueries {
 
     // G1: tile assignment — the north-rule core; emits the cell's (x, y)
     // grid coordinates so the oracle can recompute them arithmetically
-    "g1_tile_assign" -> ((s, dir) => {
-      val level = Cells.DefaultLevel
-      val xUdf = udf((c: Long) => Cells.x(c))
-      val yUdf = udf((c: Long) => Cells.y(c))
+    "g1_tile_assign" -> ((s, dir) =>
       objects(s, dir).filter(col("id") % 7 === 0)
-        .select(col("id"), xUdf(col("cell")).as("tx"), yUdf(col("cell")).as("ty"))
-        .orderBy(col("id"))
-    }),
+        .select(col("id"), GeoFunctions.cellX(col("cell")).as("tx"),
+          GeoFunctions.cellY(col("cell")).as("ty"))
+        .orderBy(col("id"))),
 
     // T1-reverse: batch reverse geocode = 1-NN join (searcher.go:402-435)
     "t1_reverse_geocode" -> ((s, dir) => {

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, BinaryExpression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, TernaryExpression, BinaryExpression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
@@ -32,6 +32,22 @@ case class CellEncodeExpr(first: Expression, second: Expression, third: Expressi
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** cell_x / cell_y: de-interleave a Morton cell ID back to its grid
+ *  coordinate — the shared codegen'd twin of [[graft.core.Cells.x]]/
+ *  [[graft.core.Cells.y]] (one expression instead of the per-call-site UDFs
+ *  it replaced; stays inside whole-stage codegen). */
+case class CellCoordExpr(child: Expression, isX: Boolean) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = if (isX) "cell_x" else "cell_y"
+  override def nullSafeEval(cell: Any): Any =
+    if (isX) Cells.x(cell.asInstanceOf[Long]) else Cells.y(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      if (isX) s"graft.core.Cells.x($c)" else s"graft.core.Cells.y($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** cell_disk(cell, r): all cell IDs at Chebyshev distance <= r — the ring-join
@@ -149,6 +165,12 @@ object GeoFunctions {
 
   def cellDisk(cell: Column, r: Column): Column =
     toCol(CellDiskExpr(toExpr(cell.cast(LongType)), toExpr(r.cast(IntegerType))))
+
+  /** Morton x grid coordinate of a cell ID (codegen'd; replaces the UDFs
+   *  formerly duplicated across Raster/SpatialQueries/SkewQueries). */
+  def cellX(cell: Column): Column = toCol(CellCoordExpr(toExpr(cell.cast(LongType)), isX = true))
+  /** Morton y grid coordinate of a cell ID. */
+  def cellY(cell: Column): Column = toCol(CellCoordExpr(toExpr(cell.cast(LongType)), isX = false))
 
   def pointInPolygon(lat: Column, lon: Column, polyLats: Column, polyLons: Column): Column =
     toCol(PointInPolygonExpr(toExpr(lat.cast(DoubleType)), toExpr(lon.cast(DoubleType)), toExpr(polyLats), toExpr(polyLons)))

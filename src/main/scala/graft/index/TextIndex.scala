@@ -61,10 +61,21 @@ object TextIndex {
    * dictionary-encodes it for free).
    */
   def termIds(vocab: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // NOTE: global sort window — fine for vocabularies (≤ tens of millions);
-    // at larger scales switch to zipWithIndex over a sorted Dataset.
-    vocab.select(col("term"))
-      .withColumn("term_id", row_number().over(Window.orderBy(col("term"))).cast("long") + 2L)
+    val spark = vocab.sparkSession
+    // sorted zipWithIndex: the range-partitioned sort keeps every partition
+    // parallel and zipWithIndex assigns offsets with one tiny count job —
+    // no single-partition exchange, unlike the previous
+    // row_number().over(Window.orderBy(...)) global window, which
+    // serialized the whole vocabulary through one task
+    val rdd = vocab.select(col("term")).rdd
+      .map(_.getString(0)).sortBy(identity)
+      .zipWithIndex.map { case (t, i) =>
+        org.apache.spark.sql.Row(t, i + 3L)
+      }
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("term_id",
+        org.apache.spark.sql.types.LongType, nullable = false))))
   }
 }

@@ -37,20 +37,33 @@ object Components {
    * nodes: one long column `id` (every node, including isolated ones);
    * edges: (id1, id2), either orientation, symmetrized internally.
    * Output: (id, comp) where comp = the component's minimum node id.
+   *
+   * Throws IllegalStateException if labels are still changing after
+   * `maxIters` rounds (unconverged labels would silently mislabel). The
+   * returned DataFrame is backed by ONE persisted RDD; call
+   * [[releaseResults]] once results are materialized to free it (all other
+   * intermediate persistence is released before returning).
    */
   def minLabel(nodes: DataFrame, edges: DataFrame, maxIters: Int = 256): DataFrame = {
     val spark = nodes.sparkSession
-    val ids = nodes.select(col("id")).localCheckpoint(eager = true)
-    val sym = edges.select(col("id1"), col("id2"))
-      .unionByName(edges.select(col("id2").as("id1"), col("id1").as("id2")))
-      .localCheckpoint(eager = true)
+
+    def persisted(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    // ids/sym were localCheckpoint(eager) before, but localCheckpoint's
+    // internal RDD exposes no handle to unpersist — materialize through the
+    // same RDD boundary so the loop inputs can be released after the loop
+    val (ids, idsRdd) = persisted(nodes.select(col("id")))
+    val (sym, symRdd) = persisted(edges.select(col("id1"), col("id2"))
+      .unionByName(edges.select(col("id2").as("id1"), col("id1").as("id2"))))
 
     var roundRdds = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
     def materializeRound(df: DataFrame): DataFrame = {
-      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.count()
+      val (out, rdd) = persisted(df)
       roundRdds = rdd :: roundRdds
-      spark.createDataFrame(rdd, df.schema)
+      out
     }
     var labels = materializeRound(ids.select(col("id"), col("id").as("label")))
     var changedCount = 1L
@@ -84,6 +97,38 @@ object Components {
       if (debug)
         println(f"components iter=$iter changed=$changedCount wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // loop inputs are no longer needed; rounds were already pruned to the
+    // final one, which BACKS the returned DataFrame and stays persisted
+    idsRdd.unpersist(blocking = false)
+    symRdd.unpersist(blocking = false)
+    // silently returning unconverged labels would mislabel components; a
+    // graph whose diameter outruns maxIters rounds must fail loudly (the
+    // upgrade path for such graphs is large-star/small-star, see scaladoc)
+    if (changedCount > 0) {
+      roundRdds.foreach(_.unpersist(blocking = false))
+      throw new IllegalStateException(
+        s"connected components did not converge after $maxIters rounds " +
+          s"($changedCount labels still changing) — raise maxIters or use a " +
+          "star-contraction algorithm for high-diameter graphs")
+    }
+    roundRdds.foreach { r => finalRdds.add(r); () }
     labels.select(col("id"), col("label").as("comp"))
+  }
+
+  // Ownership of the one persisted RDD that backs each returned labels
+  // DataFrame: unpersisting it before the caller consumes the result would
+  // force a full re-iteration, so the library keeps a registry and lets the
+  // caller (or a session-level sweep, e.g. between bench queries) release
+  // them once results are materialized.
+  private val finalRdds =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], java.lang.Boolean]())
+
+  /** Unpersist every label RDD still held from completed [[minLabel]] calls.
+   *  Safe to call once their results have been written/collected; a later
+   *  action on a stale result recomputes instead of erroring. */
+  def releaseResults(): Unit = {
+    val it = finalRdds.iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
   }
 }

@@ -84,7 +84,13 @@ object Dedup {
    *  Output: (id1, id2, sim4) with id1 < id2, sim quantized 1e-4. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n).cache()
+    // deliberately NOT .cache()d (the project cache rule, TextStats.lmScore):
+    // a cache pinned inside a library call leaks storage memory for the
+    // session's lifetime with no owner to unpersist it. The shingle explode
+    // is recomputed per join branch — callers running the refine repeatedly
+    // over the same candidate set should persist `docs` (or the prefiltered
+    // shingle table) themselves and keep ownership of the unpersist.
+    val sh = shingleTable(docs, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = sh.toDF("id1", "shingle")
       .join(sh.toDF("id2", "shingle"), Seq("shingle"))

@@ -110,6 +110,12 @@ object TableIO {
    * Returns `spark.table(...)`, the bucket-aware handle (a plain
    * `read.parquet` of the same path would silently drop the bucket
    * metadata and re-shuffle).
+   *
+   * Assumes a SINGLE writer per (dir, name): stages are pipeline steps, not
+   * a concurrency primitive. Both the complete and the incomplete-recovery
+   * branches verify the registered table's canonical location before
+   * trusting (or dropping) it, so a table-name hash collision fails loudly
+   * rather than racing two stages onto one path.
    */
   /** Reverse of [[esc]] for manifest string fields. */
   private def unesc(s: String): String = {
@@ -187,8 +193,19 @@ object TableIO {
     }
     // registered but NOT complete: a previous attempt died between
     // saveAsTable and the manifest write — drop the half-registered table
-    // and recompute instead of failing on the missing manifest forever
-    if (registered) spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // and recompute instead of failing on the missing manifest forever.
+    // Same canonical-location check as the complete branch: a hashCode
+    // collision must not drop ANOTHER stage's registration (stages assume a
+    // single writer per (dir, name) — concurrent writers are out of scope).
+    if (registered) {
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location
+      val canonical = new java.io.File(path).getCanonicalPath
+      require(new java.io.File(loc.getPath).getCanonicalPath == canonical,
+        s"catalog table $tbl points at ${loc.getPath}, not $canonical — name " +
+          "collision; refusing to drop another stage's registration")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
     val t0 = System.nanoTime()
     val df = compute
     df.write.mode("overwrite")

@@ -27,16 +27,13 @@ import graft.functions.GeoFunctions
 object Raster {
 
   /** Sparse raster of per-cell aggregates: (cell, x, y, value=count). */
-  def rasterize(points: DataFrame, level: Int = Cells.DefaultLevel): DataFrame = {
-    val xUdf = udf((c: Long) => Cells.x(c))
-    val yUdf = udf((c: Long) => Cells.y(c))
+  def rasterize(points: DataFrame, level: Int = Cells.DefaultLevel): DataFrame =
     points
       .withColumn("rcell", GeoFunctions.cellEncode(col("lat"), col("lon"), level))
       .groupBy(col("rcell").as("cell"))
       .agg(count(lit(1)).as("value"))
-      .select(col("cell"), xUdf(col("cell")).as("x"), yUdf(col("cell")).as("y"),
-        col("value"))
-  }
+      .select(col("cell"), GeoFunctions.cellX(col("cell")).as("x"),
+        GeoFunctions.cellY(col("cell")).as("y"), col("value"))
 
   /**
    * 4-connected components of raster cells with value >= threshold.

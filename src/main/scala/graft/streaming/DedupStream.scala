@@ -44,18 +44,35 @@ object DedupStream {
   def runBatchAsStream(spark: SparkSession, docs: DataFrame,
                        watermarkDelay: String = "10 minutes",
                        queryName: String = "dedup_stream"): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("dedup_stream_src").toString
-    docs.select("ts", "doc_id", "text")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(dir).schema)
-      .parquet(dir)
-    val q = dedup(stream, watermarkDelay)
-      .writeStream.outputMode("append")
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    val dirPath = java.nio.file.Files.createTempDirectory("dedup_stream_src")
+    val dir = dirPath.toString
+    try {
+      docs.select("ts", "doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .parquet(dir)
+      val q = dedup(stream, watermarkDelay)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // return a COPY detached from the memory sink, so the sink's temp view
+      // can be dropped here instead of accumulating one per invocation
+      val sink = spark.table(queryName)
+      val rows = sink.collect().toSeq
+      val out = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, math.max(1, rows.size / 4096 + 1)),
+        sink.schema)
+      spark.catalog.dropTempView(queryName)
+      out
+    } finally {
+      // the temp source dir would otherwise leak disk on every call
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(dirPath))
+        java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }

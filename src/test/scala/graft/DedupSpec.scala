@@ -61,6 +61,46 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("jaccardPairs pins no cache after the query completes") {
+    // the project cache rule: no library call may leave storage pinned with
+    // no owner to unpersist it
+    val before = spark.sharedState.cacheManager.isEmpty
+    Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.7).count()
+    assert(spark.sharedState.cacheManager.isEmpty == before,
+      "jaccardPairs left a pinned cache entry behind")
+  }
+
+  test("minLabel fails loudly when maxIters rounds cannot converge") {
+    // a 64-node path graph with maxIters=2: min-label + pointer jumping
+    // covers distance ~2^r after r rounds, so 2 rounds cannot reach the far
+    // end — the call must throw, never silently mislabel
+    val nodes = (0L to 63L).map(Tuple1(_)).toDF("id")
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val e = intercept[IllegalStateException] {
+      graft.ml.Components.minLabel(nodes, edges, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the same graph converges with the default budget
+    val ok = graft.ml.Components.minLabel(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.forall(_ == 0L))
+  }
+
+  test("minLabel releases all persisted RDDs once results are released") {
+    // other tests may hold their own caches in the shared session: compare
+    // against the persisted-RDD set BEFORE the call, not against empty
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val nodes = (1L to 6L).map(Tuple1(_)).toDF("id")
+    val edges = Seq((1L, 2L), (5L, 6L)).toDF("id1", "id2")
+    graft.ml.Components.minLabel(nodes, edges).count()
+    graft.ml.Components.releaseResults()
+    // allow the async (blocking=false) unpersists to drain
+    val deadline = System.nanoTime() + 10e9.toLong
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before).size
+    while (leaked > 0 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked == 0, s"$leaked RDDs still persisted after releaseResults")
+  }
+
   test("md5Hash60: first 60 md5 bits, exact cross-engine goldens") {
     // goldens = int(hashlib.md5(s).hexdigest()[:15], 16) — the same value
     // DuckDB's CAST('0x' || substr(md5(s),1,15) AS BIGINT) produces
