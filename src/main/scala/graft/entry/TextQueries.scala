@@ -126,6 +126,18 @@ object TextQueries {
         .orderBy(col("dist"), desc("freq"), col("term"))
     }),
 
+    // T4b: the SAME candidate set via the deletion-neighborhood equi-join
+    // (SymSpell recast of spell_corrector.go:273-302) — the web-scale path:
+    // key-equality probes into an index-time neighborhood table instead of
+    // a per-token vocabulary scan. Oracle = t4's brute-force SQL, proving
+    // the index path returns exactly the scan's rows.
+    "t4b_spell_join" -> ((s, dir) => {
+      val v = TextIndex.vocab(TextIndex.postings(docs(s, dir), "doc_id", "text"))
+      graft.spell.SpellJoin.candidates(graft.spell.SpellJoin.neighborhood(v), Typo, 2)
+        .select(col("term"), col("freq"), col("dist"))
+        .orderBy(col("dist"), desc("freq"), col("term"))
+    }),
+
     // SO3: prefix autocomplete candidates (FST prefix walk equivalent)
     "so3_prefix" -> ((s, dir) => {
       val v = TextIndex.vocab(TextIndex.postings(docs(s, dir), "doc_id", "text"))
@@ -214,6 +226,13 @@ object TextQueries {
        |    UNION ALL
        |    SELECT p.term, p.doc_id FROM pa p JOIN q ON p.term = q.term))
        |  GROUP BY term)""".stripMargin
+
+  private val spellOracleSql: String =
+    s"""WITH tn AS (SELECT doc_id, unnest(${T("text")}) AS term FROM documents),
+       |v AS (SELECT term, COUNT(*) AS freq FROM tn GROUP BY term)
+       |SELECT term, freq, CAST(levenshtein(term, '$Typo') AS INTEGER) AS dist
+       |FROM v WHERE levenshtein(term, '$Typo') <= 2
+       |ORDER BY dist, freq DESC, term""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "a1_postings" ->
@@ -390,12 +409,11 @@ object TextQueries {
          |FROM top t JOIN documents d USING (doc_id)
          |ORDER BY score6 DESC, t.doc_id""".stripMargin,
 
-    "t4_spell" ->
-      s"""WITH tn AS (SELECT doc_id, unnest(${T("text")}) AS term FROM documents),
-         |v AS (SELECT term, COUNT(*) AS freq FROM tn GROUP BY term)
-         |SELECT term, freq, CAST(levenshtein(term, '$Typo') AS INTEGER) AS dist
-         |FROM v WHERE levenshtein(term, '$Typo') <= 2
-         |ORDER BY dist, freq DESC, term""".stripMargin,
+    "t4_spell" -> spellOracleSql,
+
+    // identical to t4_spell BY DESIGN: the deletion-neighborhood join must
+    // return exactly the brute-force scan's candidate set
+    "t4b_spell_join" -> spellOracleSql,
 
     "so3_prefix" ->
       s"""WITH tn AS (SELECT doc_id, unnest(${T("text")}) AS term FROM documents),

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -111,6 +111,62 @@ object NGramLM {
         math.log(stupidBackoff(padded(i), padded.slice(i - 3, i), 4))
       }.sum
     }
+  }
+
+  /**
+   * Distributed twin of [[Model.queryLogProb]]: score a SMALL set of
+   * candidate queries against the (possibly huge) count tables by JOINING
+   * their padded 4-gram positions against the counts — the model never
+   * leaves the cluster, unlike [[collectModel]]. The stupid-backoff CASE
+   * per position mirrors [[Model.stupidBackoff]] exactly: a level fires
+   * iff its prefix AND its n-gram are both present (count tables only hold
+   * positive counts, so presence == nonzero estimate); λ = 0.4 per skipped
+   * level; the unigram floor uses log(-Inf-safe) handling identical to
+   * `math.log(0)`.
+   *
+   * `candidates`: (cid, term-id sequence). Returns cid -> LM log-prob.
+   * Collected output is candidate-scale (= the reference's per-request
+   * candidate list), NOT model-scale.
+   */
+  def queryLogProbsDistributed(counts: DataFrame,
+                               candidates: Seq[(Int, Seq[Long])]): Map[Int, Double] = {
+    if (candidates.isEmpty) return Map.empty
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val total = Option(counts.filter(col("n") === 1).agg(sum("cnt")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val positions = candidates.flatMap { case (cid, q) =>
+      val padded = Seq.fill(4)(StartId) ++ q :+ EndId
+      (4 until padded.length).map { i =>
+        (cid, i, padded(i - 3), padded(i - 2), padded(i - 1), padded(i))
+      }
+    }
+    val pos = positions.toDF("cid", "pos", "p1", "p2", "p3", "nxt")
+    // one lookup table per n, joined on the gram array (tiny probe side —
+    // Spark broadcasts the POSITIONS, streaming the big counts side)
+    def cnts(n: Int) = counts.filter(col("n") === n).select(col("gram"), col("cnt"))
+    def lj(df: DataFrame, n: Int, key: Column, as: String): DataFrame =
+      df.join(cnts(n).select(col("gram").as(s"k_$as"), col("cnt").as(as)),
+        key === col(s"k_$as"), "left_outer").drop(s"k_$as")
+    val joined = Seq(
+      (4, array(col("p1"), col("p2"), col("p3"), col("nxt")), "q4"),
+      (3, array(col("p1"), col("p2"), col("p3")), "q3p"),
+      (3, array(col("p2"), col("p3"), col("nxt")), "t3"),
+      (2, array(col("p2"), col("p3")), "t2p"),
+      (2, array(col("p3"), col("nxt")), "b2"),
+      (1, array(col("p3")), "b1p"),
+      (1, array(col("nxt")), "u1")
+    ).foldLeft(pos) { case (df, (n, key, as)) => lj(df, n, key, as) }
+    val prob =
+      when(col("q3p").isNotNull && col("q4").isNotNull, col("q4") / col("q3p"))
+        .when(col("t2p").isNotNull && col("t3").isNotNull, lit(0.4) * col("t3") / col("t2p"))
+        .when(col("b1p").isNotNull && col("b2").isNotNull, lit(0.4 * 0.4) * col("b2") / col("b1p"))
+        .otherwise(lit(0.4 * 0.4 * 0.4) * coalesce(col("u1"), lit(0L)) / lit(math.max(1L, total)))
+    joined
+      .select(col("cid"),
+        when(prob > 0, log(prob)).otherwise(lit(Double.NegativeInfinity)).as("lp"))
+      .groupBy("cid").agg(sum("lp").as("lm_lp"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
   }
 
   /** Collect the count tables into a driver/broadcast Model. */

@@ -67,6 +67,40 @@ class SearcherSpec extends AnyFunSuite {
     assert(searcher.correct("") == Seq.empty)
   }
 
+  test("distributed mode (vocab budget exceeded): same corrections, same hits, " +
+    "no model collect") {
+    // maxDriverVocab=1 forces the join path: deletion-neighborhood candidate
+    // join + join-based LM scoring (NGramLM.queryLogProbsDistributed); the
+    // collected Model/termIdMap/lmKeep lazies are never touched
+    val dist = new Searcher(docs, "doc_id", "name", "address",
+      spellErrorLines = Seq(
+        "dunia: duniu, dunai",
+        "fantasi: fsntaso, fantasy",
+        "binatang: bibatqng",
+        "ragunan: raginan"),
+      maxDriverVocab = 1L)
+    assert(dist.distributed, "tiny budget must engage the distributed path")
+    assert(dist.correct("Duniu Fsntaso") == Seq("dunia", "fantasi"))
+    assert(dist.correct("Kebun Bibatqng Raginan") == Seq("kebun", "binatang", "ragunan"))
+    assert(dist.correct("Dunia Fantasi") == Seq("dunia", "fantasi"))
+    val top = dist.freeFormQuery("Duniu Fsntaso", 3).select("name").collect()
+    assert(top.head.getString(0) == "Dunia Fantasi")
+    val ac = dist.autocomplete("Monumen Nasi", 3).select("name").collect()
+    assert(ac.exists(_.getString(0).contains("Monumen Nasional")))
+  }
+
+  test("distributed mode scores the UNK-thresholded LM identically (hapax -> <UNK>)") {
+    val hapaxDocs = (1 to 29).map(i => (100L + i, s"h$i${i}word", ""))
+    val oovDocs = (Seq(
+      (1L, "vv", ""), (2L, "vv", ""), (3L, "vx", "")
+    ) ++ hapaxDocs).toDF("doc_id", "name", "address")
+    val dist = new Searcher(oovDocs, "doc_id", "name", "address",
+      spellErrorLines = Seq("qq: qx"), maxDriverVocab = 1L)
+    assert(dist.distributed)
+    assert(dist.correct("vy") == Seq("vx"),
+      "join-scored LM must reproduce the pooled-<UNK> ranking")
+  }
+
   test("LM is built over the UNK-thresholded corpus (ngram_lm.go:69-110): " +
     "a hapax candidate scores as <UNK>, whose pooled mass can beat a freq-2 word") {
     // corpus: 'vv' twice, 'vx' once, 29 more unique hapax words — each its
