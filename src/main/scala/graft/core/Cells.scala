@@ -265,6 +265,27 @@ object Cells {
    * stop test: once kth-distance <= this bound, the top-k is exact
    * (equivalent to the reference R-tree's minDist pruning, rtree.go:543-568).
    */
+  /**
+   * Band-conservative variant of [[minDistOutsideDiskKm]]: a lower bound
+   * valid for EVERY point whose |lat| <= maxAbsLat, dropping the per-point
+   * in-cell offsets (>= 0) and using the band's worst-case cos(lat). Lets a
+   * distributed ring loop converge whole batches with one constant per
+   * (level, r) instead of a per-row bound evaluation; conservativeness only
+   * costs extra rounds, never correctness.
+   */
+  def minDistOutsideDiskBandKm(maxAbsLat: Double, level: Int, r: Int): Double = {
+    if (r <= 0) return 0.0
+    val latCellDeg = 180.0 / (1L << level)
+    val lonCellDeg = 360.0 / (1L << level)
+    val bLat = GeoMath.degToRad(r * latCellDeg) * GeoMath.EarthRadiusKm
+    val bandAbsLat = math.min(90.0, maxAbsLat + (r + 1) * latCellDeg)
+    val cosMin = math.max(0.0, math.cos(GeoMath.degToRad(bandAbsLat)))
+    val lonSepRad = math.min(math.Pi, GeoMath.degToRad(r * lonCellDeg))
+    val bLon = 2.0 * math.asin(math.min(1.0, cosMin * math.sin(lonSepRad / 2.0))) *
+      GeoMath.EarthRadiusKm
+    math.min(bLat, bLon)
+  }
+
   def minDistOutsideDiskKm(lat: Double, lon: Double, level: Int, r: Int): Double = {
     if (r <= 0) return 0.0
     val cell = encode(lat, lon, level)

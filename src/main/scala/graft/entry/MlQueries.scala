@@ -200,6 +200,13 @@ object MlQueries {
       Images.features(Images.imageTable(s, dir).filter(col("fmt") === "png"))
         .orderBy(col("image_id"))),
 
+    // X9: the COMPOSED curation pipeline end to end — redact → quality/
+    // repetition gate → near-dup cluster collapse → stratified sample —
+    // one oracled query over the final kept set (the checkpointed-stage
+    // variant with resume is Curation.run, asserted in PipelineSpec)
+    "x9_curation_e2e" -> ((s, dir) =>
+      graft.ml.Curation.plan(docs(s, dir)).orderBy(col("doc_id"))),
+
     // G2: image table tile assignment from phash-derived coordinates —
     // value-level oracled end to end: DuckDB re-derives phash (LCG pixels →
     // gray → 8x8 aHash, 64-bit wraparound emulated in HUGEINT) and the
@@ -219,10 +226,9 @@ object MlQueries {
        |  unnest(list_transform(range(1, len(t) - 1), i -> substr(t, CAST(i AS INTEGER), 3))) AS s
        |  FROM d WHERE len(t) >= 3)""".stripMargin
 
-  /** Shared CTE chain ending in `pairs`(id1, id2) — the DuckDB twin of
-   *  minhashSignatures + minhashCandidates, reused by d3 (the pair list)
-   *  and d6 (components over the pair graph). */
-  private def minhashPairCtes: String = {
+  /** sig/bands/pairs CTEs — the DuckDB twin of minhashSignatures +
+   *  minhashCandidates over an in-scope `sh`(doc_id, s) shingle CTE. */
+  private def minhashSigBandCtes: String = {
     import Dedup.MinHash._
     val code = codeSql("s")
     val hs = (0 until NumHashes).map(i =>
@@ -233,8 +239,7 @@ object MlQueries {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""${shingleCte(MinhashMaxId)},
-       |sig AS (SELECT doc_id,
+    s"""sig AS (SELECT doc_id,
        |    $hs
        |  FROM sh GROUP BY doc_id),
        |bands AS (
@@ -243,6 +248,13 @@ object MlQueries {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  /** Shared CTE chain ending in `pairs`(id1, id2) — the DuckDB twin of
+   *  minhashSignatures + minhashCandidates, reused by d3 (the pair list)
+   *  and d6 (components over the pair graph). */
+  private def minhashPairCtes: String =
+    s"""${shingleCte(MinhashMaxId)},
+       |$minhashSigBandCtes""".stripMargin
 
   private def minhashSql: String =
     s"""WITH $minhashPairCtes
@@ -491,6 +503,54 @@ object MlQueries {
     "x8_redact" ->
       s"""SELECT doc_id, ${TextStats.redactSql("text")} AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the composed curation chain: every stage reuses an already-proven
+    // twin (x8 redact, x2/x6 signals, d3 banding, d6 recursive-CTE
+    // components, x7 ticket sampling) over the previous stage's output
+    "x9_curation_e2e" -> {
+      import graft.ml.Curation
+      val redSql = TextStats.redactSql("text")
+      val cut = Curation.SampleRates.foldLeft(
+        math.round(Curation.SampleDefaultRate * graft.ml.Sampling.Tickets).toString) {
+        case (acc, (k, r)) =>
+          s"CASE WHEN lang_pred = '$k' THEN ${math.round(r * graft.ml.Sampling.Tickets)} ELSE $acc END"
+      }
+      s"""WITH RECURSIVE
+         |red AS (SELECT doc_id, $redSql AS redacted FROM documents),
+         |filb AS (SELECT doc_id, redacted,
+         |    ${TextStats.qualitySqlSelect("redacted").last},
+         |    ${TextStats.repetitionSqlSelect("redacted").last}
+         |  FROM red),
+         |fil AS (SELECT * FROM filb WHERE quality4 >= ${Curation.QualityMin} AND rep4 <= ${Curation.RepMax}),
+         |d AS (SELECT doc_id, lower(redacted) AS t FROM fil),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  unnest(list_transform(range(1, len(t) - 1), i -> substr(t, CAST(i AS INTEGER), 3))) AS s
+         |  FROM d WHERE len(t) >= 3),
+         |$minhashSigBandCtes,
+         |refined AS (SELECT p.id1, p.id2, COUNT(*) AS c
+         |  FROM pairs p JOIN sh a ON a.doc_id = p.id1
+         |    JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         |rp AS (SELECT id1, id2 FROM refined
+         |  JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+         |  WHERE c * 1.0 / (s1.sz + s2.sz - c) >= ${Curation.JaccardRefineThreshold}),
+         |sym AS (SELECT id1, id2 FROM rp
+         |  UNION ALL SELECT id2 AS id1, id1 AS id2 FROM rp),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM fil
+         |  UNION
+         |  SELECT e.id1, reach.r FROM sym e JOIN reach ON e.id2 = reach.id),
+         |comp AS (SELECT id AS doc_id, MIN(r) AS keep_id FROM reach GROUP BY id),
+         |ded AS (SELECT f.doc_id, f.redacted, f.quality4, f.rep4
+         |  FROM fil f JOIN comp c ON f.doc_id = c.doc_id AND c.keep_id = f.doc_id),
+         |langd AS (SELECT doc_id, ${TextStats.langIdSqlCase("redacted")} AS lang_pred,
+         |    quality4, rep4
+         |  FROM ded)
+         |SELECT doc_id, lang_pred, quality4, rep4 FROM langd
+         |WHERE ${graft.ml.Sampling.ticketSql("doc_id", Curation.SampleSalt)} < $cut
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "x7_sample" -> {
       // the rate CASE is generated from the SAME map as the Spark filter

@@ -1,0 +1,91 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Derived
+
+/**
+ * The composed training-data curation pipeline — the end-to-end chain a
+ * 100-TB corpus runs before tokenization, assembled from the engine's
+ * already-oracled operators:
+ *
+ *   1. redact    — PII scrub ([[TextStats.redact]]; x8's op)
+ *   2. filter    — quality + repetition thresholds over the REDACTED text
+ *                  ([[TextStats.qualityScoreCol]]/[[TextStats.repetitionCol]];
+ *                  x2/x6's ops), one per-row projection, no shuffle
+ *   3. dedup     — MinHash banding candidates → connected-component
+ *                  clusters → keep the min-id representative per cluster
+ *                  ([[Dedup]]/[[Components]]; d3/d6's ops)
+ *   4. sample    — deterministic language-stratified ticket sampling
+ *                  ([[Sampling]] over [[TextStats.langIdCol]]; x7's op)
+ *
+ * [[plan]] is the pure composition (the x9_curation_e2e oracled query);
+ * [[run]] persists each stage through [[graft.pipeline.TableIO.stage]] with
+ * lineage manifests so a rerun resumes exactly (north-rule checkpointing,
+ * asserted in PipelineSpec).
+ */
+object Curation {
+
+  /** Thresholds chosen against the sf corpus so every stage does real work
+   *  (filter keeps ~57%, dedup collapses the banded near-dups, sampling
+   *  downweights by language). Shared with the DuckDB oracle. */
+  val QualityMin = 7000L
+  val RepMax = 1500L
+  val SampleRates: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 0.8, "fr" -> 0.8, "es" -> 0.8)
+  val SampleDefaultRate = 0.1
+  val SampleSalt = "cur1"
+
+  /** Stage 1: (doc_id, redacted). */
+  def redactStage(docs: DataFrame): DataFrame =
+    TextStats.redact(docs, "doc_id", "text")
+
+  /** Stage 2: quality/repetition gate over the redacted text — one per-row
+   *  projection (all three signals in the same select, no joins). */
+  def filterStage(redacted: DataFrame): DataFrame =
+    redacted.select(col("doc_id"), col("redacted"),
+        Derived.q4(TextStats.qualityScoreCol(col("redacted"))).as("quality4"),
+        Derived.q4(TextStats.repetitionCol(col("redacted"))).as("rep4"))
+      .filter(col("quality4") >= QualityMin && col("rep4") <= RepMax)
+
+  /** Jaccard cut for the refine step — pairs the banding admits must also
+   *  pass the exact shingle-Jaccard test before clustering (banding alone
+   *  is a PREFILTER; on templated corpora it admits far-from-duplicate
+   *  pairs and would collapse everything into one cluster). */
+  val JaccardRefineThreshold = 0.7
+
+  /** Stage 3: banding prefilter → exact Jaccard refine → connected
+   *  components → keep the min-id representative per cluster. */
+  def dedupStage(filtered: DataFrame): DataFrame = {
+    val candidates = Dedup.minhashCandidates(
+      Dedup.minhashSignatures(filtered, "doc_id", "redacted"))
+    val pairs = Dedup.jaccardRefine(filtered, "doc_id", "redacted", 3,
+      JaccardRefineThreshold, candidates)
+    val clusters = Dedup.dupClusters(filtered, "doc_id", pairs)
+    filtered.join(clusters.filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id")), Seq("doc_id"))
+  }
+
+  /** Stage 4: language-stratified deterministic sample; final kept set. */
+  def sampleStage(deduped: DataFrame): DataFrame =
+    Sampling.stratifiedSample(
+        deduped.withColumn("lang_pred", TextStats.langIdCol(col("redacted"))),
+        "doc_id", col("lang_pred"), SampleRates, SampleDefaultRate, SampleSalt)
+      .select(col("doc_id"), col("lang_pred"), col("quality4"), col("rep4"))
+
+  /** The pure composition — the x9_curation_e2e query body. */
+  def plan(docs: DataFrame): DataFrame =
+    sampleStage(dedupStage(filterStage(redactStage(docs))))
+
+  /** Checkpointed run: every stage persists with a lineage manifest; a
+   *  rerun over the same outDir resumes each completed stage (read-back,
+   *  not recompute) and returns identical rows. */
+  def run(spark: SparkSession, docs: DataFrame, outDir: String): DataFrame = {
+    import graft.pipeline.TableIO
+    val red = TableIO.stage(spark, outDir, "cur_redact") { redactStage(docs) }
+    val fil = TableIO.stage(spark, outDir, "cur_filter") { filterStage(red) }
+    val ded = TableIO.stage(spark, outDir, "cur_dedup") { dedupStage(fil) }
+    TableIO.stage(spark, outDir, "cur_sample") { sampleStage(ded) }
+  }
+}

@@ -106,6 +106,27 @@ object Dedup {
         round(col("sim") * 10000).cast("long").as("sim4"))
   }
 
+  /**
+   * Exact Jaccard refine over a CANDIDATE pair list (the production shape:
+   * banding prefilters, this verifies) — intersection counts are computed
+   * only for the given pairs, never all-pairs. Output: (id1, id2) of pairs
+   * with shingle-Jaccard >= threshold.
+   */
+  def jaccardRefine(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, threshold: Double, pairs: DataFrame): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    pairs.select(col("id1"), col("id2"))
+      .join(sh.toDF("id1", "shingle"), Seq("id1"))
+      .join(sh.toDF("id2", "shingle"), Seq("id2", "shingle"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("id1", "sz1"), Seq("id1"))
+      .join(sizes.toDF("id2", "sz2"), Seq("id2"))
+      .filter(col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")) >= threshold)
+      .select(col("id1"), col("id2"))
+  }
+
   /** MinHash parameters shared with the DuckDB oracle SQL — keep in sync. */
   object MinHash {
     val P = 1000000007L

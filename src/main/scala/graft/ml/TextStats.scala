@@ -56,6 +56,22 @@ object TextStats {
    * [0, 1] = clamp(0.25*sw + 0.25*(1-punct) + 0.25*(1-digit) +
    * 0.25*min(1, n_tokens/64)). All quantized 1e-4 for hash-stable compare.
    */
+  /** The composite quality score in [0, 1] as a column — shared by
+   *  [[quality]] and the curation filter ([[Curation]]). */
+  def qualityScoreCol(t: Column): Column = {
+    val toks = Derived.tokens(t)
+    val nTok = size(toks).cast("double")
+    val punct = size(regexp_extract_all(t, lit("[.!?,;:]"), lit(0))).cast("double") /
+      greatest(length(t).cast("double"), lit(1.0))
+    val digit = size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("double") /
+      greatest(length(t).cast("double"), lit(1.0))
+    val sw = when(nTok > 0, stopwordHits(toks, Stopwords.head._2).cast("double") / nTok)
+      .otherwise(lit(0.0))
+    least(lit(1.0),
+      lit(0.25) * sw + lit(0.25) * (lit(1.0) - punct) + lit(0.25) * (lit(1.0) - digit) +
+        lit(0.25) * least(lit(1.0), nTok / 64.0))
+  }
+
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val toks = Derived.tokens(t)
@@ -64,19 +80,14 @@ object TextStats {
       aggregate(toks, lit(0.0), (a, x) => a + length(x)) / nTok).otherwise(lit(0.0))
     val punct = size(regexp_extract_all(t, lit("[.!?,;:]"), lit(0))).cast("double") /
       greatest(length(t).cast("double"), lit(1.0))
-    val digit = size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("double") /
-      greatest(length(t).cast("double"), lit(1.0))
     val sw = when(nTok > 0, stopwordHits(toks, Stopwords.head._2).cast("double") / nTok)
       .otherwise(lit(0.0))
-    val score = least(lit(1.0),
-      lit(0.25) * sw + lit(0.25) * (lit(1.0) - punct) + lit(0.25) * (lit(1.0) - digit) +
-        lit(0.25) * least(lit(1.0), nTok / 64.0))
     docs.select(col(idCol).as("doc_id"),
       nTok.cast("long").as("n_tokens"),
       Derived.q4(meanLen).as("mean_len4"),
       Derived.q4(punct).as("punct4"),
       Derived.q4(sw).as("stop4"),
-      Derived.q4(score).as("quality4"))
+      Derived.q4(qualityScoreCol(t)).as("quality4"))
   }
 
   def qualitySqlSelect(textExpr: String): Seq[String] = {
@@ -131,15 +142,22 @@ object TextStats {
    * column arithmetic — no shuffle, codegen'd, exact in both engines
    * (the ratio is one IEEE division of small ints).
    */
-  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = Derived.tokens(col(textCol))
+  /** Duplicate-3-gram fraction as a column — shared by [[repetition]] and
+   *  the curation filter ([[Curation]]). */
+  def repetitionCol(textCol: Column): Column = {
+    val t = Derived.tokens(textCol)
     val grams = transform(sequence(lit(1), size(t) - 2), i => concat_ws(" ",
       element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
-    val n3 = when(size(t) >= 3, (size(t) - 2).cast("long")).otherwise(lit(0L))
-    val rep = when(size(t) >= 3,
+    when(size(t) >= 3,
       lit(1.0) - size(array_distinct(grams)).cast("double") / (size(t) - 2))
       .otherwise(lit(0.0))
-    docs.select(col(idCol).as("doc_id"), n3.as("n3"), Derived.q4(rep).as("rep4"))
+  }
+
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = Derived.tokens(col(textCol))
+    val n3 = when(size(t) >= 3, (size(t) - 2).cast("long")).otherwise(lit(0L))
+    docs.select(col(idCol).as("doc_id"), n3.as("n3"),
+      Derived.q4(repetitionCol(col(textCol))).as("rep4"))
   }
 
   def repetitionSqlSelect(textExpr: String): Seq[String] = {

@@ -111,11 +111,20 @@ object Geofence {
       fenceStatus(track, fences(name), nearestFences)
   }
 
+  /** Above this fence count the literal-array plan stops being the right
+   *  shape (plan-size blowup from an N-element literal in every task) and
+   *  [[fenceStatus]] switches to the cell-keyed broadcast ring join —
+   *  the engine equivalent of the reference's fence R-tree
+   *  (fence_index.go:33-48). */
+  val LiteralFenceMax = 64
+
   /**
    * track: (event_id, user_id, ts, lat, lon); fences broadcast.
    * Returns one row per emitted status: (event_id, user_id, ts, fence_key,
    * seq, status) where seq orders multi-status emissions (EXIT/OUTSIDE,
-   * ENTER/INSIDE).
+   * ENTER/INSIDE). Fence sets up to [[LiteralFenceMax]] evaluate map-side
+   * as a literal array; larger sets route through [[fenceStatusJoin]]
+   * (same rows, join-shaped plan).
    */
   def fenceStatus(track: DataFrame, fences: Seq[Fence], nearestFences: Int = 3): DataFrame = {
     val spark = track.sparkSession
@@ -132,10 +141,11 @@ object Geofence {
           lit("").as("fence_key"), lit(0).as("seq"), lit("").as("status"))
         .limit(0)
 
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val withPrev = track
-      .withColumn("prev_lat", lag(col("lat"), 1, -999.0).over(w))
-      .withColumn("prev_lon", lag(col("lon"), 1, -999.0).over(w))
+    if (fences.size > LiteralFenceMax)
+      return fenceStatusJoin(track,
+        fences.map(f => (f.key, f.lat, f.lon, f.radiusKm))
+          .toDF("fence_key", "flat", "flon", "fradius"),
+        nearestFences)
 
     // keep the `nearestFences` fences per point, by center distance — the
     // fence set is a literal array, so per-row sort + slice selects the
@@ -150,13 +160,27 @@ object Geofence {
       haversineKm(col("lat"), col("lon"), f("flat"), f("flon")).as("fdist"),
       f("fence_key").as("fence_key"), f("flat").as("flat"),
       f("flon").as("flon"), f("fradius").as("fradius"))))
-    val nearest = withPrev
+    val nearest = withPrev(track)
       .withColumn("nf", explode(slice(ranked, 1, nearestFences)))
       .select(col("*"), col("nf.fence_key").as("fence_key"), col("nf.flat").as("flat"),
         col("nf.flon").as("flon"), col("nf.fradius").as("fradius"),
         col("nf.fdist").as("fdist"))
       .drop("nf")
+    statusFromNearest(nearest)
+  }
 
+  /** lag() previous position per user — shared by both plans. */
+  private def withPrev(track: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    track
+      .withColumn("prev_lat", lag(col("lat"), 1, -999.0).over(w))
+      .withColumn("prev_lon", lag(col("lon"), 1, -999.0).over(w))
+  }
+
+  /** Status projection over per-(point, fence) candidate rows — the shared
+   *  tail of both plans. Input columns: event_id, user_id, ts, lat, lon,
+   *  prev_lat, prev_lon, fence_key, flat, flon, fradius, fdist. */
+  private def statusFromNearest(nearest: DataFrame): DataFrame = {
     // each predicate is computed ONCE as a boolean column before the CASE:
     // CaseWhen branches are lazily evaluated, so Catalyst cannot eliminate
     // a subexpression shared ACROSS branches — inlining these re-evaluated
@@ -181,5 +205,98 @@ object Geofence {
       .withColumn("statuses", statuses)
       .select(col("event_id"), col("user_id"), col("ts"), col("fence_key"),
         posexplode(col("statuses")).as(Seq("seq", "status")))
+  }
+
+  /**
+   * Large-fence-set plan: the `nearestFences` nearest fences per point via a
+   * cell-keyed BROADCAST ring join — the engine twin of the reference's
+   * fence R-tree kNN (fence_index.go:49-72) and of [[Spatial.knnJoin]] with
+   * the sides flipped (the BIG side here is the track, which is never
+   * broadcast and never collected; the fence table is broadcast-scale).
+   *
+   * Per round: fences explode into their <=25-cell disk at a coarsened
+   * level ([[Spatial.effectiveDisk]] — broadcast side bounded at 25 x
+   * |fences| rows however wide the search), points join on their own single
+   * cell, per-point candidates reduce to the k nearest by (dist, key) —
+   * identical ordering to the literal plan's array_sort. A point converges
+   * when its kth candidate distance is within the band-conservative ring
+   * bound ([[graft.core.Cells.minDistOutsideDiskBandKm]], one constant per
+   * round — no per-row bound UDF); unconverged points retry with a doubled
+   * radius, pending tracked by ANTI-JOIN (no driver-side point ids, unlike
+   * knnJoin's contract-bounded query batch). Per-point candidate buffers
+   * are bounded by the fences in one disk.
+   */
+  def fenceStatusJoin(track: DataFrame, fenceDf: DataFrame, nearestFences: Int = 3,
+                      level: Int = graft.core.Cells.DefaultLevel,
+                      maxRounds: Int = 32): DataFrame = {
+    import graft.core.Cells
+    // round materialization uses localCheckpoint: the blocks backing each
+    // round cut lineage; once the caller drops the result, the
+    // ContextCleaner reclaims them with the unreferenced RDDs
+    val emptyOut = track
+      .select(col("event_id"), col("user_id"), col("ts"),
+        lit("").as("fence_key"), lit(0).as("seq"), lit("").as("status"))
+      .limit(0)
+    if (fenceDf.isEmpty) return emptyOut
+
+    val fenceCount = fenceDf.count()
+    val k = math.min(nearestFences.toLong, fenceCount).toInt
+    // one pass for the conservative convergence band (max |lat| of points)
+    val bandRow = track.agg(max(abs(col("lat")))).head()
+    if (bandRow.isNullAt(0)) return emptyOut
+    val maxAbsLat = bandRow.getDouble(0)
+
+    var pending = withPrev(track).localCheckpoint(eager = true)
+    var acc: Option[DataFrame] = None
+    var r = 1
+    var round = 0
+    var pendingCount = pending.count()
+    while (round < maxRounds && pendingCount > 0) {
+      val (lvl, rad) = Spatial.effectiveDisk(level, r)
+      val fullCover = lvl <= 1 && rad >= 2
+      val cand = fenceRoundCandidates(pending, fenceDf, lvl, rad)
+      // (fdist, fence_key) struct order == the literal plan's array_sort key
+      val sel = cand.groupBy(col("event_id"))
+        .agg(first(col("user_id")).as("user_id"), first(col("ts")).as("ts"),
+          first(col("lat")).as("lat"), first(col("lon")).as("lon"),
+          first(col("prev_lat")).as("prev_lat"), first(col("prev_lon")).as("prev_lon"),
+          slice(array_sort(collect_list(struct(
+            col("fdist"), col("fence_key"), col("flat"), col("flon"), col("fradius")))),
+            1, k).as("nf"))
+      val bound = Cells.minDistOutsideDiskBandKm(maxAbsLat, lvl, rad)
+      val done = (if (fullCover) sel
+        else sel.filter(size(col("nf")) >= k && element_at(col("nf"), k)("fdist") <= bound))
+        .localCheckpoint(eager = true)
+      val doneRows = done
+        .withColumn("x", explode(col("nf")))
+        .select(col("event_id"), col("user_id"), col("ts"), col("lat"), col("lon"),
+          col("prev_lat"), col("prev_lon"),
+          col("x.fence_key").as("fence_key"), col("x.flat").as("flat"),
+          col("x.flon").as("flon"), col("x.fradius").as("fradius"),
+          col("x.fdist").as("fdist"))
+      acc = Some(acc.map(_.unionByName(doneRows)).getOrElse(doneRows))
+      pending =
+        if (fullCover) pending.limit(0)
+        else pending.join(done.select(col("event_id")), Seq("event_id"), "left_anti")
+          .localCheckpoint(eager = true)
+      pendingCount = if (fullCover) 0L else pending.count()
+      r *= 2
+      round += 1
+    }
+    acc.map(statusFromNearest).getOrElse(emptyOut)
+  }
+
+  /** One ring-join round of [[fenceStatusJoin]]: fences exploded into their
+   *  disk cells (broadcast), points joined on their own cell. Exposed so
+   *  plan shape (BroadcastHashJoin, no fence literals) is assertable —
+   *  inside the loop every round materializes behind a checkpoint. */
+  def fenceRoundCandidates(pending: DataFrame, fenceDf: DataFrame,
+                           lvl: Int, rad: Int): DataFrame = {
+    val fx = fenceDf.withColumn("jcell",
+      explode(cellDisk(cellEncode(col("flat"), col("flon"), lit(lvl)), lit(rad))))
+    pending
+      .withColumn("jcell", cellEncode(col("lat"), col("lon"), lit(lvl)))
+      .join(broadcast(fx), Seq("jcell"))
+      .withColumn("fdist", haversineKm(col("lat"), col("lon"), col("flat"), col("flon")))
   }
 }

@@ -78,6 +78,53 @@ class GeofenceSpec extends AnyFunSuite {
     assert(out == Set("a", "b", "c"))
   }
 
+  test("join path == literal path row-for-row (cell-keyed ring join parity)") {
+    // a grid of 40 fences over the derived track's region, still below
+    // LiteralFenceMax so BOTH plans can run on the same input
+    val fences = (for (i <- 0 until 8; j <- 0 until 5) yield
+      Fence(f"g$i%02d_$j", -8.2 + i * 0.35, 110.0 + j * 0.5, 20.0 + (i + j) % 3 * 10)).toSeq
+    val track = Derived.track(spark, TestSpark.Sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))
+    val lit = Geofence.fenceStatus(track, fences)
+      .select("event_id", "fence_key", "seq", "status").collect().map(key).toSet
+    val fenceDf = fences.map(f => (f.key, f.lat, f.lon, f.radiusKm))
+      .toDF("fence_key", "flat", "flon", "fradius")
+    val joined = Geofence.fenceStatusJoin(track, fenceDf)
+      .select("event_id", "fence_key", "seq", "status").collect().map(key).toSet
+    assert(joined == lit, s"join plan diverged: ${joined.diff(lit).take(3)} vs ${lit.diff(joined).take(3)}")
+    assert(lit.nonEmpty)
+  }
+
+  test("10k fences plan a broadcast join, not a 10k-element literal") {
+    val fences = (0 until 10000).map(i =>
+      Fence(f"k$i%05d", -8.5 + (i % 100) * 0.02, 105.5 + (i / 100) * 0.05, 5.0))
+    val track = Seq((1L, 1L, ts(0), -7.5, 108.0), (2L, 1L, ts(1), -7.4, 108.1))
+      .toDF("event_id", "user_id", "ts", "lat", "lon")
+    val fenceDf = fences.map(f => (f.key, f.lat, f.lon, f.radiusKm))
+      .toDF("fence_key", "flat", "flon", "fradius")
+    // the per-round join plans a broadcast hash join over the fence TABLE,
+    // with no fence-key literals anywhere in the plan
+    val roundPlan = Geofence.fenceRoundCandidates(
+      track.withColumn("prev_lat", lit(-999.0)).withColumn("prev_lon", lit(-999.0)),
+      fenceDf, 8, 2).queryExecution.executedPlan.toString
+    assert(roundPlan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join in the large-fence round plan:\n$roundPlan")
+    assert(!roundPlan.contains("k09999"),
+      "fence keys must not be inlined as plan literals")
+    // the dispatching operator itself takes the join path (>LiteralFenceMax)
+    // and its FINAL plan reads checkpointed rounds — also literal-free
+    val out = Geofence.fenceStatus(track, fences)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("k09999"),
+      "fence keys must not be inlined as plan literals")
+    // ...and still emits exactly 3-nearest statuses per point
+    val rows = out.collect()
+    assert(rows.length >= 2 * 3 && rows.forall(_.getString(5).nonEmpty))
+    val perEvent = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(3)).distinct.length)
+    assert(perEvent.values.forall(_ == 3), s"expected 3 nearest fences per point: $perEvent")
+  }
+
   test("FenceStore: persisted named collections with MERGE upsert (fence_index.go:21-48,88-96)") {
     val dir = java.nio.file.Files.createTempDirectory("fence-store").toString
     val store = new Geofence.FenceStore(spark, dir)

@@ -39,4 +39,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(m2.forall(_._4), "second run must resume every stage")
     assert(m2.map(m => m._1 -> m._2) === m1.map(m => m._1 -> m._2))
   }
+
+  test("curation chain: checkpointed run == pure plan, and a re-run resumes idempotently") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val out = Files.createTempDirectory("graft-cur").toString
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val planRows = graft.ml.Curation.plan(docs).collect().map(key).toSet
+    assert(planRows.nonEmpty, "curation must keep some documents")
+
+    val run1 = graft.ml.Curation.run(spark, docs, out).collect().map(key).toSet
+    assert(run1 == planRows, "checkpointed stages must equal the pure composition")
+    for (name <- Seq("cur_redact", "cur_filter", "cur_dedup", "cur_sample"))
+      assert(TableIO.isComplete(out, name), s"stage $name must checkpoint")
+
+    // resume: all four stages read back; rows identical
+    val run2 = graft.ml.Curation.run(spark, docs, out).collect().map(key).toSet
+    assert(run2 == run1, "resumed run must return identical rows")
+    // every stage did real work: monotone shrinking through the chain
+    val nRedact = spark.read.parquet(s"$out/cur_redact").count()
+    val nFilter = spark.read.parquet(s"$out/cur_filter").count()
+    val nDedup = spark.read.parquet(s"$out/cur_dedup").count()
+    val nSample = spark.read.parquet(s"$out/cur_sample").count()
+    assert(nRedact == docs.count())
+    assert(nFilter < nRedact, "quality/repetition gate must drop rows")
+    assert(nDedup <= nFilter)
+    assert(nSample < nDedup, "sampling must drop rows")
+  }
 }
