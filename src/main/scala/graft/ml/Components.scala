@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
  * Each round takes the min over neighbor labels, then compresses
  * label -> label-of-label (labels are always member ids, so the self-join
  * is well-defined). Jumping compresses chains quickly, but worst-case
- * rounds are still bounded by the component diameter (the min must be
+ * rounds can still track the component structure (the min must be
  * DISCOVERED by neighbor hops before pointers can shortcut to it), hence
  * the generous maxIters; each round is a single cheap shuffle over the
- * node set. For planetary-diameter components the upgrade path is the
- * large-star/small-star algorithm (Kiveris et al.), same DataFrame ops.
+ * node set. Graphs that outrun the budget fall back (by default) to
+ * [[starComponents]] — large-star/small-star contraction (Kiveris et al.),
+ * whose round count is O(log^2 n) regardless of diameter — so no input
+ * shape can produce silent mislabels or an unbounded loop.
  *
  * Materialization note — every iterative-DataFrame pitfall at once:
  *  - localCheckpoint flattens the plan but COPIES the parent's sizeInBytes
@@ -38,20 +40,24 @@ object Components {
    * edges: (id1, id2), either orientation, symmetrized internally.
    * Output: (id, comp) where comp = the component's minimum node id.
    *
-   * Throws IllegalStateException if labels are still changing after
-   * `maxIters` rounds (unconverged labels would silently mislabel). The
+   * If labels are still changing after `maxIters` rounds, the call falls
+   * back to [[starComponents]] (default) or throws IllegalStateException
+   * (`starFallback = false`) — unconverged labels are never returned. The
    * returned DataFrame is backed by ONE persisted RDD; call
    * [[releaseResults]] once results are materialized to free it (all other
    * intermediate persistence is released before returning).
    */
-  def minLabel(nodes: DataFrame, edges: DataFrame, maxIters: Int = 256): DataFrame = {
-    val spark = nodes.sparkSession
+  /** RDD-boundary materialization (see scaladoc above): flat plan, constant
+   *  stats, truncated lineage, explicit persistence handle. */
+  private def persisted(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val spark = df.sparkSession
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    (spark.createDataFrame(rdd, df.schema), rdd)
+  }
 
-    def persisted(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.count()
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
+  def minLabel(nodes: DataFrame, edges: DataFrame, maxIters: Int = 256,
+               starFallback: Boolean = true): DataFrame = {
     // ids/sym were localCheckpoint(eager) before, but localCheckpoint's
     // internal RDD exposes no handle to unpersist — materialize through the
     // same RDD boundary so the loop inputs can be released after the loop
@@ -68,7 +74,8 @@ object Components {
     var labels = materializeRound(ids.select(col("id"), col("id").as("label")))
     var changedCount = 1L
     var iter = 0
-    val debug = spark.conf.getOption("spark.graft.components.debug").contains("true")
+    val debug = nodes.sparkSession.conf
+      .getOption("spark.graft.components.debug").contains("true")
     while (changedCount > 0 && iter < maxIters) {
       val t0 = System.nanoTime()
       val viaNeighbor = sym
@@ -102,17 +109,103 @@ object Components {
     idsRdd.unpersist(blocking = false)
     symRdd.unpersist(blocking = false)
     // silently returning unconverged labels would mislabel components; a
-    // graph whose diameter outruns maxIters rounds must fail loudly (the
-    // upgrade path for such graphs is large-star/small-star, see scaladoc)
+    // graph that outruns maxIters rounds either falls back to the
+    // O(log^2 n)-round star-contraction algorithm or fails loudly
     if (changedCount > 0) {
       roundRdds.foreach(_.unpersist(blocking = false))
+      if (starFallback) return starComponents(nodes, edges)
       throw new IllegalStateException(
         s"connected components did not converge after $maxIters rounds " +
-          s"($changedCount labels still changing) — raise maxIters or use a " +
-          "star-contraction algorithm for high-diameter graphs")
+          s"($changedCount labels still changing) — raise maxIters or use " +
+          "starComponents for high-diameter graphs")
     }
     roundRdds.foreach { r => finalRdds.add(r); () }
     labels.select(col("id"), col("label").as("comp"))
+  }
+
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+
+  /** Per-node minimum over the closed neighborhood: (u, m = min(N(u) ∪ u)). */
+  private def closedMins(sym: DataFrame): DataFrame =
+    sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+
+  /** large-star: every neighbor v > u connects to min(N(u) ∪ {u}). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = symmetrize(e)
+    sym.join(closedMins(sym), Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** small-star: u and every neighbor v <= u connect to min(N(u) ∪ {u}). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val sym = symmetrize(e)
+    val mins = closedMins(sym)
+    sym.join(mins, Seq("u"))
+      .filter(col("v") <= col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionByName(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /**
+   * Connected components by alternating large-star / small-star contraction
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+   * high-diameter path: rounds are O(log^2 n) REGARDLESS of component
+   * diameter (a planetary-length snake region converges in a few dozen
+   * rounds where neighbor propagation needs one round per hop). Each round
+   * is two groupBy-min + join passes over the edge set; at convergence the
+   * edges form a star forest centered at each component's minimum node.
+   *
+   * Same contract as [[minLabel]]: (id, comp), comp = component min; the
+   * result is backed by one persisted RDD released via [[releaseResults]].
+   */
+  def starComponents(nodes: DataFrame, edges: DataFrame, maxIters: Int = 64): DataFrame = {
+    val (ids, idsRdd) = persisted(nodes.select(col("id")))
+    var (e, eRdd) = persisted(edges.select(col("id1").as("u"), col("id2").as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    var prevRdd = eRdd
+    var stable = e.isEmpty
+    var rounds = 0
+    val debug = nodes.sparkSession.conf
+      .getOption("spark.graft.components.debug").contains("true")
+    while (!stable && rounds < maxIters) {
+      val t0 = System.nanoTime()
+      val (l, lRdd) = persisted(largeStar(e))
+      val (s, sRdd) = persisted(smallStar(l))
+      // converged when a full large+small pass leaves the edge set fixed
+      stable = s.exceptAll(e).isEmpty && e.exceptAll(s).isEmpty
+      prevRdd.unpersist(blocking = false)
+      lRdd.unpersist(blocking = false)
+      e = s
+      prevRdd = sRdd
+      rounds += 1
+      if (debug)
+        println(f"starComponents round=$rounds wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    if (!stable) {
+      idsRdd.unpersist(blocking = false)
+      prevRdd.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"star contraction did not converge after $maxIters rounds " +
+          "(O(log^2 n) expected — this indicates a bug or an absurd graph)")
+    }
+    // at convergence e is (leaf, center) with center = component min
+    val centers = e.groupBy(col("u")).agg(min(col("v")).as("comp"))
+      .withColumnRenamed("u", "id")
+    val (labels, labelsRdd) = persisted(
+      ids.join(centers, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp")))
+    idsRdd.unpersist(blocking = false)
+    prevRdd.unpersist(blocking = false)
+    finalRdds.add(labelsRdd)
+    labels
   }
 
   // Ownership of the one persisted RDD that backs each returned labels

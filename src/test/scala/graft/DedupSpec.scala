@@ -70,20 +70,40 @@ class DedupSpec extends AnyFunSuite {
       "jaccardPairs left a pinned cache entry behind")
   }
 
-  test("minLabel fails loudly when maxIters rounds cannot converge") {
+  test("minLabel outrun by the graph: throws without fallback, star-contracts with it") {
     // a 64-node path graph with maxIters=2: min-label + pointer jumping
     // covers distance ~2^r after r rounds, so 2 rounds cannot reach the far
-    // end — the call must throw, never silently mislabel
+    // end — without the fallback the call must throw, never silently
+    // mislabel; with it (the default) the star algorithm finishes the job
     val nodes = (0L to 63L).map(Tuple1(_)).toDF("id")
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id1", "id2")
     val e = intercept[IllegalStateException] {
-      graft.ml.Components.minLabel(nodes, edges, maxIters = 2).collect()
+      graft.ml.Components.minLabel(nodes, edges, maxIters = 2,
+        starFallback = false).collect()
     }
     assert(e.getMessage.contains("did not converge"))
-    // the same graph converges with the default budget
+    val viaStar = graft.ml.Components.minLabel(nodes, edges, maxIters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar.values.forall(_ == 0L), "star fallback must label the full path")
+    // the same graph converges directly with the default budget
     val ok = graft.ml.Components.minLabel(nodes, edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ok.values.forall(_ == 0L))
+  }
+
+  test("starComponents: high-diameter path + mixed components, O(log^2 n) rounds") {
+    // 1000-node path (diameter 999) plus a separate triangle and isolates —
+    // neighbor propagation would need ~1000 rounds; star contraction must
+    // finish within its default 64-round budget
+    val nodes = (0L until 1000L).map(Tuple1(_)).toDF("id")
+    val path = (0L until 996L).map(i => (i, i + 1)) // 0..996 connected
+    val tri = Seq((997L, 998L), (998L, 999L), (997L, 999L)) // disjoint triangle
+    val edges = (path ++ tri).toDF("id1", "id2")
+    val out = graft.ml.Components.starComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 996L).forall(i => out(i) == 0L), "path must collapse to 0")
+    assert(Seq(997L, 998L, 999L).forall(i => out(i) == 997L), "triangle to 997")
+    graft.ml.Components.releaseResults()
   }
 
   test("minLabel releases all persisted RDDs once results are released") {
