@@ -527,8 +527,14 @@ object MlQueries {
          |  unnest(list_transform(range(1, len(t) - 1), i -> substr(t, CAST(i AS INTEGER), 3))) AS s
          |  FROM d WHERE len(t) >= 3),
          |$minhashSigBandCtes,
+         |bsz AS (SELECT band, band_key, COUNT(*) AS bn FROM bands GROUP BY 1, 2),
+         |cpairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  JOIN bsz ON bsz.band = a.band AND bsz.band_key = a.band_key
+         |  WHERE bsz.bn <= ${Curation.MaxBandBucket}),
          |refined AS (SELECT p.id1, p.id2, COUNT(*) AS c
-         |  FROM pairs p JOIN sh a ON a.doc_id = p.id1
+         |  FROM cpairs p JOIN sh a ON a.doc_id = p.id1
          |    JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
          |  GROUP BY 1, 2),
          |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),

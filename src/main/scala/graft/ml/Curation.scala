@@ -42,11 +42,17 @@ object Curation {
     TextStats.redact(docs, "doc_id", "text")
 
   /** Stage 2: quality/repetition gate over the redacted text — one per-row
-   *  projection (all three signals in the same select, no joins). */
+   *  projection (all three signals in the same select, no joins), then the
+   *  threshold filter BEHIND a materialization barrier: pushing the filter
+   *  into the projection makes Catalyst substitute the full signal
+   *  expressions into the predicate, re-running the regex/token work per
+   *  row with no subexpression sharing against the projection (measured
+   *  13.1 s vs 0.6 s for 5000 rows at one partition). */
   def filterStage(redacted: DataFrame): DataFrame =
     redacted.select(col("doc_id"), col("redacted"),
         Derived.q4(TextStats.qualityScoreCol(col("redacted"))).as("quality4"),
         Derived.q4(TextStats.repetitionCol(col("redacted"))).as("rep4"))
+      .localCheckpoint(eager = true)
       .filter(col("quality4") >= QualityMin && col("rep4") <= RepMax)
 
   /** Jaccard cut for the refine step — pairs the banding admits must also
@@ -55,13 +61,31 @@ object Curation {
    *  pairs and would collapse everything into one cluster). */
   val JaccardRefineThreshold = 0.7
 
+  /** Band buckets above this size are skipped (see
+   *  [[Dedup.minhashCandidates]]): a hot bucket is quadratic in the pair
+   *  join and non-discriminative. 32 keeps the per-bucket pair bound at
+   *  496 while real near-dups still collide in their other bands. */
+  val MaxBandBucket = 32
+
   /** Stage 3: banding prefilter → exact Jaccard refine → connected
-   *  components → keep the min-id representative per cluster. */
-  def dedupStage(filtered: DataFrame): DataFrame = {
-    val candidates = Dedup.minhashCandidates(
-      Dedup.minhashSignatures(filtered, "doc_id", "redacted"))
+   *  components → keep the min-id representative per cluster.
+   *
+   *  The reused intermediates (filter output, signatures, refined pairs)
+   *  are each referenced several times downstream (band self-join sides,
+   *  shingle joins, the symmetrized component edges); materializing them
+   *  once collapses what is otherwise a MULTIPLICATIVE lineage blowup —
+   *  measured 337 s → seconds for the composed query at sf0.1. Checkpoint
+   *  blocks are reclaimed by the ContextCleaner when the result is
+   *  dropped. (In the staged [[run]] form, TableIO persistence plays this
+   *  role instead.) */
+  def dedupStage(filteredIn: DataFrame): DataFrame = {
+    val filtered = filteredIn.localCheckpoint(eager = true)
+    val sigs = Dedup.minhashSignatures(filtered, "doc_id", "redacted")
+      .localCheckpoint(eager = true)
+    val candidates = Dedup.minhashCandidates(sigs, maxBucket = Some(MaxBandBucket))
     val pairs = Dedup.jaccardRefine(filtered, "doc_id", "redacted", 3,
-      JaccardRefineThreshold, candidates)
+        JaccardRefineThreshold, candidates)
+      .localCheckpoint(eager = true)
     val clusters = Dedup.dupClusters(filtered, "doc_id", pairs)
     filtered.join(clusters.filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id")), Seq("doc_id"))
@@ -74,9 +98,23 @@ object Curation {
         "doc_id", col("lang_pred"), SampleRates, SampleDefaultRate, SampleSalt)
       .select(col("doc_id"), col("lang_pred"), col("quality4"), col("rep4"))
 
-  /** The pure composition — the x9_curation_e2e query body. */
-  def plan(docs: DataFrame): DataFrame =
-    sampleStage(dedupStage(filterStage(redactStage(docs))))
+  /** The pure composition — the x9_curation_e2e query body.
+   *
+   *  The redact output is materialized before the signal stage: Catalyst's
+   *  projection collapse would otherwise inline the two redaction
+   *  regexp_replace calls into EVERY occurrence of `redacted` inside the
+   *  quality/repetition expressions, re-running them many times per row
+   *  (measured 50 s → ~3 s for the filter stage at sf0.1). */
+  def plan(docs: DataFrame): DataFrame = {
+    // right-size the partitioning once at the fan-out root: a single-file
+    // input would otherwise serialize every per-row regex/shingle stage on
+    // one core (checkpoints preserve partitioning). No-op at warehouse
+    // scale, where inputs already carry >= defaultParallelism splits.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val base = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    sampleStage(dedupStage(filterStage(
+      redactStage(base).localCheckpoint(eager = true))))
+  }
 
   /** Checkpointed run: every stage persists with a lineage manifest; a
    *  rerun over the same outDir resumes each completed stage (read-back,

@@ -155,8 +155,18 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: docs sharing any of the 4 bands of 4 hashes. */
-  def minhashCandidates(signatures: DataFrame): DataFrame = {
+  /** LSH candidate pairs: docs sharing any of the 4 bands of 4 hashes.
+   *
+   *  `maxBucket`: skip band buckets holding more than this many docs — the
+   *  standard discriminativeness bound for over-dense buckets. A bucket of
+   *  B docs forms B(B-1)/2 pairs; on templated corpora a handful of hot
+   *  buckets otherwise dominate the whole join quadratically (measured:
+   *  the uncapped x9 curation pair join was 337 s at sf0.1, the capped one
+   *  seconds), and a bucket shared by thousands of documents carries no
+   *  near-dup signal. True near-dups above the banding threshold collide
+   *  in several independent bands, so they survive unless every one of
+   *  their buckets is hot. None = exact banding semantics (d3/d6). */
+  def minhashCandidates(signatures: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
     import MinHash._
     val nBands = NumHashes / BandSize
     val bands = (0 until nBands).map { b =>
@@ -164,8 +174,19 @@ object Dedup {
         (0 until BandSize).map(j => col(s"h${b * BandSize + j}").cast("string")): _*)
       signatures.select(col("doc_id"), lit(b).as("band"), key.as("band_key"))
     }.reduce(_ unionByName _)
-    bands.toDF("id1", "band", "band_key")
-      .join(bands.toDF("id2", "band", "band_key"), Seq("band", "band_key"))
+    val admitted = maxBucket match {
+      case None => bands
+      case Some(cap) =>
+        val ok = bands.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
+          .select(col("band"), col("band_key"))
+        // re-project in (doc_id, band, band_key) order: the USING join puts
+        // its keys first, and the positional toDF below renames by position
+        bands.join(ok, Seq("band", "band_key"))
+          .select(col("doc_id"), col("band"), col("band_key"))
+    }
+    admitted.toDF("id1", "band", "band_key")
+      .join(admitted.toDF("id2", "band", "band_key"), Seq("band", "band_key"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }

@@ -53,6 +53,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("minhashCandidates maxBucket: hot buckets skipped, sparse buckets intact") {
+    // 6 identical docs share every band bucket (bucket size 6); one
+    // separate near-dup pair (1,3) lives in small buckets
+    val hot = (10L to 15L).map(i => (i, "zzz qqq rrr sss identical hot bucket"))
+    val all = (hot ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumped over the lazy dog"))).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(all, "doc_id", "text")
+    val uncapped = Dedup.minhashCandidates(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((10L, 11L)) && uncapped.contains((1L, 3L)))
+    val capped = Dedup.minhashCandidates(sigs, maxBucket = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 3L)), "sparse-bucket pair must survive the cap")
+    assert(!capped.exists(p => p._1 >= 10L), "hot-bucket pairs must be skipped")
+  }
+
   test("dupClusters: transitive pairs collapse to min id, singletons keep themselves") {
     val nodes = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
