@@ -34,6 +34,25 @@ case class CellEncodeExpr(first: Expression, second: Expression, third: Expressi
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** min_dist_outside_disk(lat, lon): the exact per-row lower bound on the
+ *  distance to any point outside the (level, r) cell disk around the row's
+ *  own cell — the kNN ring-loop convergence test
+ *  ([[graft.core.Cells.minDistOutsideDiskKm]]), as a codegen'd expression
+ *  so batch kNN convergence is decided IN the plan (one row per pending
+ *  query) instead of by driver-side bookkeeping. */
+case class MinDistOutsideDiskExpr(left: Expression, right: Expression,
+                                  level: Int, r: Int) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "min_dist_outside_disk"
+  override def nullSafeEval(lat: Any, lon: Any): Any =
+    Cells.minDistOutsideDiskKm(lat.asInstanceOf[Double], lon.asInstanceOf[Double], level, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, lon) =>
+      s"graft.core.Cells.minDistOutsideDiskKm($lat, $lon, $level, $r)")
+  override protected def withNewChildrenInternal(l: Expression, rr: Expression): Expression =
+    copy(left = l, right = rr)
+}
+
 /** cell_x / cell_y: de-interleave a Morton cell ID back to its grid
  *  coordinate — the shared codegen'd twin of [[graft.core.Cells.x]]/
  *  [[graft.core.Cells.y]] (one expression instead of the per-call-site UDFs
@@ -165,6 +184,9 @@ object GeoFunctions {
 
   def cellDisk(cell: Column, r: Column): Column =
     toCol(CellDiskExpr(toExpr(cell.cast(LongType)), toExpr(r.cast(IntegerType))))
+
+  def minDistOutsideDisk(lat: Column, lon: Column, level: Int, r: Int): Column =
+    toCol(MinDistOutsideDiskExpr(toExpr(lat.cast(DoubleType)), toExpr(lon.cast(DoubleType)), level, r))
 
   /** Morton x grid coordinate of a cell ID (codegen'd; replaces the UDFs
    *  formerly duplicated across Raster/SpatialQueries/SkewQueries). */

@@ -129,44 +129,41 @@ object Spatial {
    * is checked against the ring lower bound and unconverged queries retry
    * with a wider disk.
    *
-   * Scale shape (two jobs per round, no driver loops over data):
+   * Scale shape (no driver-side query data AT ALL — every round is joins):
    *  - the search disk is held to <= 25 cells by coarsening the cell LEVEL
    *    instead of growing the radius ([[effectiveDisk]]) — the broadcast
    *    build side is bounded by 25 x |pending| rows forever, round count by
    *    log2(grid), regardless of how far the nearest neighbour is;
    *  - per-round candidates are compacted map-side by the bounded top-k
    *    aggregate (graft.functions.TopK ships <= k rows per query per task);
-   *  - convergence bookkeeping (kth distance vs bound) is ONE row per
-   *    pending query, collected from the round's checkpoint — the query
-   *    side is broadcast-scale by contract (the reference holds the query
-   *    batch in server RAM, searcher.go:97-204), so this collect is the
-   *    same order as the broadcast the join already does. Queries with zero
-   *    candidates this round stay pending by set subtraction (they never
-   *    reach the flags table in a join-based scheme).
+   *  - convergence (kth distance vs the exact per-row ring bound,
+   *    [[graft.functions.MinDistOutsideDiskExpr]]) is decided IN the plan:
+   *    converged qids are one semi-joined checkpoint, pending shrinks by
+   *    ANTI-join — the query batch never passes through the driver, so the
+   *    operator has no literal-list or collect ceiling (the reference holds
+   *    its query batch in server RAM, searcher.go:97-204; this form removes
+   *    even that bound). Queries with zero candidates this round never
+   *    reach the converged set and stay pending by the anti-join.
    */
   def knnJoin(points: DataFrame, queries: DataFrame, k: Int,
               level: Int = Cells.DefaultLevel, initialR: Int = 1,
               maxRounds: Int = 16): DataFrame = {
     val spark = points.sparkSession
-    // materialize the (small, by contract) query side once — it may derive
-    // from a full scan of the point table, and each round references it
-    val qck = queries.select(col("qid"), col("qlat"), col("qlon"))
+    // materialize the query side once — it may derive from a full scan of
+    // the point table, and each round references it
+    var pending = queries.select(col("qid"), col("qlat"), col("qlon"))
       .localCheckpoint(eager = true)
-    val allIds: Array[Any] = qck.select("qid").collect().map(_.get(0))
-    var pendingIds: Array[Any] = allIds
+    var pendingCount = pending.count()
     var acc: Option[DataFrame] = None
     var r = initialR
     var round = 0
     val debug = spark.conf.getOption("spark.graft.knn.debug").contains("true")
-    while (round < maxRounds && pendingIds.nonEmpty) {
+    while (round < maxRounds && pendingCount > 0) {
       val (lvl, rad) = effectiveDisk(level, r)
       // disk(lvl, 2) at lvl <= 1 is the whole grid: every point is a
       // candidate, the round is exact by construction
       val fullCover = lvl <= 1 && rad >= 2
-      if (debug) println(s"knnJoin round=$round r=$r lvl=$lvl rad=$rad pending=${pendingIds.length}")
-      val pending =
-        if (pendingIds.length == allIds.length) qck
-        else qck.filter(col("qid").isin(pendingIds: _*))
+      if (debug) println(s"knnJoin round=$round r=$r lvl=$lvl rad=$rad pending=$pendingCount")
       val qCells = pending
         .withColumn("qcell", cellEncode(col("qlat"), col("qlon"), lit(lvl)))
         .withColumn("jcell", explode(cellDisk(col("qcell"), lit(rad))))
@@ -187,25 +184,29 @@ object Spatial {
           col("col._2").as("id"), col("col._1").as("dist_km"),
           (col("pos") + 1).cast("int").as("rn"))
         .localCheckpoint(eager = true)
-      // convergence: kth distance within the provable bound for this (lvl, rad)
-      val perQ = topk.groupBy(col("qid"))
-        .agg(max(col("dist_km")).as("kth"), count(lit(1)).as("cnt"),
-          first(col("qlat")).as("qlat"), first(col("qlon")).as("qlon"))
-        .collect()
-      val okIds: Set[Any] = perQ.iterator.filter { row =>
-        fullCover || (row.getAs[Long]("cnt") >= k &&
-          row.getAs[Double]("kth") <= Cells.minDistOutsideDiskKm(
-            row.getAs[Double]("qlat"), row.getAs[Double]("qlon"), lvl, rad))
-      }.map(_.get(0)).toSet
-      if (okIds.nonEmpty) {
-        val done = topk.filter(col("qid").isin(okIds.toSeq: _*))
-          .select(col("qid"), col("id"), col("dist_km"), col("rn"))
-        // topk is already checkpointed, so the accumulated union stays flat
-        acc = Some(acc.map(_.unionByName(done)).getOrElse(done))
+      // convergence: kth distance within the provable bound for this
+      // (lvl, rad) — per-row, in-plan, codegen'd
+      val okQ =
+        (if (fullCover) topk.select(col("qid")).distinct()
+         else topk.groupBy(col("qid"))
+           .agg(max(col("dist_km")).as("kth"), count(lit(1)).as("cnt"),
+             first(col("qlat")).as("qlat"), first(col("qlon")).as("qlon"))
+           .filter(col("cnt") >= k && col("kth") <=
+             graft.functions.GeoFunctions.minDistOutsideDisk(
+               col("qlat"), col("qlon"), lvl, rad))
+           .select(col("qid")))
+          .localCheckpoint(eager = true)
+      val done = topk.join(okQ, Seq("qid"), "left_semi")
+        .select(col("qid"), col("id"), col("dist_km"), col("rn"))
+      // topk is already checkpointed, so the accumulated union stays flat
+      acc = Some(acc.map(_.unionByName(done)).getOrElse(done))
+      if (fullCover) {
+        pendingCount = 0 // queries with zero rows have no data at all
+      } else {
+        pending = pending.join(okQ, Seq("qid"), "left_anti")
+          .localCheckpoint(eager = true)
+        pendingCount = pending.count()
       }
-      pendingIds =
-        if (fullCover) Array.empty // queries with zero rows have no data at all
-        else pendingIds.filterNot(okIds)
       r *= 2
       round += 1
     }
