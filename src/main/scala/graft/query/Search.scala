@@ -45,12 +45,21 @@ object ScoringConstants {
  * `orderBy(desc(score)).limit(k)` becomes TakeOrderedAndProject — a true
  * distributed top-k, never a full sort at scale.
  */
-class SearchIndex(docs: DataFrame, idCol: String, nameCol: String, addrCol: String) {
+class SearchIndex(docs: DataFrame, idCol: String, nameCol: String, addrCol: String,
+                  prebuilt: Option[SearchIndex.Tables] = None) {
 
-  val postingsName: DataFrame = TextIndex.postings(docs, idCol, nameCol).cache()
-  val postingsAddr: DataFrame = TextIndex.postings(docs, idCol, addrCol).cache()
-  val lenName: DataFrame = TextIndex.fieldLengths(docs, idCol, nameCol).cache()
-  val lenAddr: DataFrame = TextIndex.fieldLengths(docs, idCol, addrCol).cache()
+  // fresh build: in-session cache mirrors the reference server's RAM index
+  // (ownership: the TextQueries/Searcher memoizer holds the index for the
+  // session). Loaded from an at-rest store ([[SearchIndexStore]]): the
+  // bucketed tables ARE the index — no cache, term lookups prune at scan.
+  val postingsName: DataFrame = prebuilt.map(_.postingsName)
+    .getOrElse(TextIndex.postings(docs, idCol, nameCol).cache())
+  val postingsAddr: DataFrame = prebuilt.map(_.postingsAddr)
+    .getOrElse(TextIndex.postings(docs, idCol, addrCol).cache())
+  val lenName: DataFrame = prebuilt.map(_.lenName)
+    .getOrElse(TextIndex.fieldLengths(docs, idCol, nameCol).cache())
+  val lenAddr: DataFrame = prebuilt.map(_.lenAddr)
+    .getOrElse(TextIndex.fieldLengths(docs, idCol, addrCol).cache())
 
   lazy val (avgLenName: Double, docsCount: Long) = TextIndex.fieldStats(lenName)
   lazy val avgLenAddr: Double = TextIndex.fieldStats(lenAddr)._1
@@ -186,6 +195,65 @@ class SearchIndex(docs: DataFrame, idCol: String, nameCol: String, addrCol: Stri
     val ranked = scored.orderBy(desc("score"), col("doc_id"))
       .limit(k + offset).offset(offset)
     broadcast(ranked).join(docs.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"))
+  }
+}
+
+object SearchIndex {
+  /** Prebuilt index artifacts for the at-rest path. */
+  case class Tables(postingsName: DataFrame, postingsAddr: DataFrame,
+                    lenName: DataFrame, lenAddr: DataFrame)
+}
+
+/**
+ * The index's AT-REST form — the engine twin of the reference server's
+ * on-disk index load (indexer writes segments + metadata, the server mmaps
+ * and serves, /root/reference/pkg/index): postings for both fields are
+ * persisted as EXTERNAL BUCKETED tables keyed by `term` (query-term
+ * lookups prune buckets and push `term IN (...)` to the scan), field
+ * lengths and the doc table bucketed by `doc_id` (score joins co-locate),
+ * all under one directory with lineage manifests. [[load]] in any later
+ * session re-registers from the manifests and serves WITHOUT rebuilding —
+ * [[graft.pipeline.TableIO.bucketedStage]] resume semantics.
+ */
+object SearchIndexStore {
+  import graft.pipeline.TableIO
+
+  val NBuckets = 8
+
+  /** Build and persist every index artifact; idempotent (completed stages
+   *  are skipped on re-run). */
+  def write(spark: SparkSession, docs: DataFrame, idCol: String,
+            nameCol: String, addrCol: String, dir: String): Unit = {
+    TableIO.bucketedStage(spark, dir, "idx_docs", "doc_id", NBuckets) {
+      docs.withColumnRenamed(idCol, "doc_id")
+    }
+    TableIO.bucketedStage(spark, dir, "idx_postings_name", "term", NBuckets) {
+      TextIndex.postings(docs, idCol, nameCol)
+    }
+    TableIO.bucketedStage(spark, dir, "idx_postings_addr", "term", NBuckets) {
+      TextIndex.postings(docs, idCol, addrCol)
+    }
+    TableIO.bucketedStage(spark, dir, "idx_len_name", "doc_id", NBuckets) {
+      TextIndex.fieldLengths(docs, idCol, nameCol)
+    }
+    TableIO.bucketedStage(spark, dir, "idx_len_addr", "doc_id", NBuckets) {
+      TextIndex.fieldLengths(docs, idCol, addrCol)
+    }
+  }
+
+  /** Serve from the persisted artifacts (no rebuild, no in-session cache —
+   *  the bucketed tables are the index). Works in a fresh session: the
+   *  stages re-register from their manifests. */
+  def load(spark: SparkSession, dir: String): SearchIndex = {
+    def t(name: String, key: String) =
+      TableIO.bucketedStage(spark, dir, name, key, NBuckets) {
+        sys.error(s"stage $name missing under $dir — run SearchIndexStore.write first")
+      }
+    val docs = t("idx_docs", "doc_id")
+    new SearchIndex(docs, "doc_id", "", "",
+      prebuilt = Some(SearchIndex.Tables(
+        t("idx_postings_name", "term"), t("idx_postings_addr", "term"),
+        t("idx_len_name", "doc_id"), t("idx_len_addr", "doc_id"))))
   }
 }
 
