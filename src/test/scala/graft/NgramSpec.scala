@@ -61,6 +61,27 @@ class NgramSpec extends AnyFunSuite {
     assert(model.queryLogProb(q) < 0)
   }
 
+  test("distributed join scoring == collected-model scoring, every backoff level") {
+    // candidates chosen to exercise every stupid-backoff level: full quad
+    // hits, tri/bi/uni fallbacks, unseen ids (log 0 = -Inf), empty query
+    val candidates = Seq(
+      Seq(3L, 4L, 5L),           // exact corpus doc
+      Seq(6L, 5L, 5L),           // prefix of corpus doc
+      Seq(5L, 6L),               // cross-doc bigram fallback
+      Seq(6L, 6L, 6L, 5L),       // tail overlap
+      Seq(99L),                  // unseen id -> unigram floor 0 -> -Inf
+      Seq(2L),                   // <UNK> never counted here -> -Inf
+      Seq.empty[Long]            // just the </s> transition
+    ).zipWithIndex.map(_.swap)
+    val dist = NGramLM.queryLogProbsDistributed(counts, candidates)
+    candidates.foreach { case (cid, q) =>
+      val exp = model.queryLogProb(q)
+      val got = dist(cid)
+      if (exp.isNegInfinity) assert(got.isNegInfinity, s"cid=$cid: $got vs -Inf")
+      else assert(math.abs(got - exp) < 1e-12, s"cid=$cid: $got vs $exp")
+    }
+  }
+
   test("OOV replacement: corpus freq < 2 becomes <UNK> (ngram_lm.go:69-110)") {
     val replaced = NGramLM.replaceOOV(data.map(Tuple1(_)).toDF("terms"))
       .collect().map(_.getSeq[Long](0)).toSet
