@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ml.{Ann, Dedup, Sampling, TextStats}
 import graft.sources.Derived
-import graft.images.Images
+import graft.images.{Audio, Images}
 
 /**
  * Training-data pipeline queries (dedup / similarity search / text
@@ -207,6 +207,14 @@ object MlQueries {
     "x9_curation_e2e" -> ((s, dir) =>
       graft.ml.Curation.plan(docs(s, dir)).orderBy(col("doc_id"))),
 
+    // F21: the audio payload — synthesize WAV bytes, DECODE them
+    // partition-parallel, extract per-clip features. Value-level oracled:
+    // the integer-only synthesis lets DuckDB re-derive every feature from
+    // doc_id alone, so the whole encode->decode->feature path is checked
+    // cross-engine (the audio twin of the PNG pixel path)
+    "f21_audio_features" -> ((s, dir) =>
+      Audio.features(Audio.audioTable(s, dir)).orderBy(col("audio_id"))),
+
     // G2: image table tile assignment from phash-derived coordinates —
     // value-level oracled end to end: DuckDB re-derives phash (LCG pixels →
     // gray → 8x8 aHash, 64-bit wraparound emulated in HUGEINT) and the
@@ -338,6 +346,41 @@ object MlQueries {
        |  FROM txy, (SELECT unnest(range(13)) AS b) GROUP BY id, p)""".stripMargin
   }
 
+  /** DuckDB twin of [[Audio.samples]] + [[Audio.features]]: 3 LCG draws →
+   *  (period, phase, amp, slope), sawtooth + position-hash noise per
+   *  sample (pure integer arithmetic), then peak / zero-crossings / rms
+   *  over the derived sample set. Ends with CTE
+   *  afeat(id, peak, zero_crossings, rms2). */
+  private def audioCtes: String = {
+    val M = "6364136223846793005"; val C = "1442695040888963407"
+    val T64 = "18446744073709551616"
+    val lcg = (1 to 3).map { k =>
+      val prev = if (k == 1) "alcg0" else s"alcg${k - 1}"
+      s"alcg$k AS (SELECT id, (s * $M + $C) % $T64 AS s, " +
+        s"CAST(((s * $M + $C) % $T64) // 1099511627776 % 256 AS BIGINT) AS v FROM $prev)"
+    }.mkString(",\n")
+    s"""aids AS (SELECT doc_id AS id FROM documents),
+       |alcg0 AS (SELECT id, ((CAST(id AS HUGEINT) * $M + $C) % $T64 + $T64) % $T64 AS s FROM aids),
+       |$lcg,
+       |aparams AS (SELECT alcg1.id, 20 + alcg1.v % 93 AS period,
+       |    alcg2.v % (20 + alcg1.v % 93) AS phase, 2000 + alcg3.v * 100 AS amp,
+       |    (2 * (2000 + alcg3.v * 100)) // (20 + alcg1.v % 93) AS slope
+       |  FROM alcg1 JOIN alcg2 USING(id) JOIN alcg3 USING(id)),
+       |asamp AS (SELECT id, i,
+       |    least(greatest(
+       |      ((i + phase) % period) * slope - amp +
+       |      CAST(((i*i*2654435761 + id*40503) % 4294967296) // 16777216 AS BIGINT) - 128,
+       |      -32768), 32767) AS v
+       |  FROM aparams, (SELECT unnest(range(${Audio.NumSamples})) AS i)),
+       |afeat AS (SELECT a.id,
+       |    CAST(MAX(abs(a.v)) AS INTEGER) AS peak,
+       |    CAST(SUM(CASE WHEN b.v IS NOT NULL AND a.v * b.v < 0 THEN 1 ELSE 0 END) AS INTEGER)
+       |      AS zero_crossings,
+       |    CAST(round(sqrt(SUM(a.v * a.v) / ${Audio.NumSamples}.0) * 100) AS BIGINT) AS rms2
+       |  FROM asamp a LEFT JOIN asamp b ON b.id = a.id AND b.i = a.i - 1
+       |  GROUP BY a.id)""".stripMargin
+  }
+
   /** 'img_%012d' — the image_id format of [[Images.imageTable]]. */
   private val imageIdSql = "'img_' || lpad(CAST(id AS VARCHAR), 12, '0')"
   /** unsigned HUGEINT phash `p` → the signed 64-bit value Spark stores. */
@@ -350,6 +393,14 @@ object MlQueries {
          |SELECT $imageIdSql AS image_id, $signedPhashSql AS phash,
          |  (m << 5) | 13 AS cell
          |FROM mort ORDER BY image_id""".stripMargin,
+
+    "f21_audio_features" ->
+      s"""WITH $audioCtes
+         |SELECT 'aud_' || lpad(CAST(id AS VARCHAR), 12, '0') AS audio_id,
+         |  CAST(${Audio.SampleRate} AS INTEGER) AS sr,
+         |  CAST(${Audio.NumSamples} AS INTEGER) AS n_samples,
+         |  peak, zero_crossings, rms2
+         |FROM afeat ORDER BY audio_id""".stripMargin,
 
     "f19b_features_png" ->
       s"""WITH $imagePixelCtes
