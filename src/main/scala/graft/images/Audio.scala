@@ -69,6 +69,7 @@ object Audio {
       val wave = new Array[Byte](4); buf.get(wave)
       if (new String(wave, "US-ASCII") != "WAVE") return None
       var sampleRate = 0
+      var fmtOk = false
       var out: Option[Array[Short]] = None
       while (buf.remaining() >= 8 && out.isEmpty) {
         val tag = new Array[Byte](4); buf.get(tag)
@@ -76,12 +77,22 @@ object Audio {
         if (len < 0 || len > buf.remaining()) return None
         new String(tag, "US-ASCII") match {
           case "fmt " =>
+            // a PCM fmt chunk is >= 16 bytes; anything shorter would read
+            // past its declared boundary below. Only 16-bit mono PCM
+            // (blockAlign 2) is this codec's format — an 8- or 24-bit WAV
+            // must be SKIPPED, not silently misread as int16.
+            if (len < 16) return None
             val p = buf.position()
             val fmt = buf.getShort; val ch = buf.getShort
             sampleRate = buf.getInt
-            if (fmt != 1 || ch != 1) return None
+            buf.getInt // byte rate
+            val blockAlign = buf.getShort; val bits = buf.getShort
+            if (fmt != 1 || ch != 1 || bits != 16 || blockAlign != 2) return None
+            fmtOk = true
             buf.position(p + len)
           case "data" =>
+            // data before a valid fmt chunk: sample width unknown — reject
+            if (!fmtOk) return None
             val n = len / 2
             val arr = new Array[Short](n)
             var i = 0

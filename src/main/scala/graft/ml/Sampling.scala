@@ -28,13 +28,24 @@ object Sampling {
    * Stratified sample: keep a row iff its ticket clears the stratum's rate.
    * `rates` maps stratum value -> keep fraction (in units of 1/Tickets via
    * round), unknown strata fall back to `defaultRate`.
+   *
+   * The stratum -> cut mapping is a MAP-LITERAL lookup
+   * (`element_at(map, stratum)`), not a `when(stratum === s, ...)` chain:
+   * the chain form repeats the stratum expression once per branch inside a
+   * CaseWhen — where Catalyst cannot eliminate the shared subexpression —
+   * so a derived stratum (e.g. the language-ID expression, itself ~10
+   * tokenizer evaluations) ran dozens of times per row (measured: 1.9 s vs
+   * 0.3 s for the identical map-side work at sf0.1). The lookup references
+   * the stratum exactly once, keeps the operator a pure map-side filter
+   * (no join, no broadcast, no shuffle), and unknown strata fall through
+   * `element_at`'s null to the default.
    */
   def stratifiedSample(df: DataFrame, keyCol: String, stratum: Column,
                        rates: Map[String, Double], defaultRate: Double,
                        salt: String): DataFrame = {
-    val cut = rates.foldLeft(lit(math.round(defaultRate * Tickets))) {
-      case (acc, (s, r)) => when(stratum === s, lit(math.round(r * Tickets))).otherwise(acc)
-    }
+    val cuts: Map[String, Long] = rates.map { case (s, r) => s -> math.round(r * Tickets) }
+    val cut = coalesce(element_at(typedLit(cuts), stratum.cast("string")),
+      lit(math.round(defaultRate * Tickets)))
     df.filter(ticket(col(keyCol), salt) < cut)
   }
 }

@@ -283,6 +283,14 @@ object Geofence {
       r *= 2
       round += 1
     }
+    // unreachable with the default level/maxRounds (rings coarsen to a
+    // full-grid cover first), but silently omitting still-pending points
+    // would be a wrong answer — fail loudly, like Components and knnJoin
+    if (pendingCount > 0)
+      throw new IllegalStateException(
+        s"fenceStatusJoin did not converge: $pendingCount track points " +
+          s"still pending after $maxRounds rounds (level=$level); " +
+          "raise maxRounds or lower the starting level")
     acc.map(statusFromNearest).getOrElse(emptyOut)
   }
 

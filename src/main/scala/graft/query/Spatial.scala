@@ -210,6 +210,15 @@ object Spatial {
       r *= 2
       round += 1
     }
+    // unreachable with the default level/maxRounds (the rings coarsen to a
+    // full-grid cover first), but a caller-narrowed maxRounds must fail
+    // LOUDLY rather than silently omit the still-pending queries — the
+    // same contract as Components' non-convergence guard
+    if (pendingCount > 0)
+      throw new IllegalStateException(
+        s"knnJoin did not converge: $pendingCount queries still pending " +
+          s"after $maxRounds rounds (level=$level, initialR=$initialR); " +
+          "raise maxRounds or lower the starting level")
     // empty query set / nothing converged: keep the (qid, id, dist_km, rn)
     // output schema so callers' selections still resolve
     acc.getOrElse(

@@ -32,6 +32,24 @@ class AudioSpec extends AnyFunSuite {
     assert(Audio.tryDecodeWav(Array.emptyByteArray).isEmpty)
   }
 
+  test("non-16-bit-mono-PCM WAVs are rejected, not misdecoded") {
+    val good = Audio.encodeWav(Audio.samples(1L))
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); f(b); b
+    }
+    // bits-per-sample 8 (offset 34 in the canonical 44-byte header)
+    assert(Audio.tryDecodeWav(patched(b => b(34) = 8)).isEmpty)
+    // bits-per-sample 24 with matching blockAlign 3
+    assert(Audio.tryDecodeWav(patched { b => b(34) = 24; b(32) = 3 }).isEmpty)
+    // blockAlign 4 (stereo-like layout claim)
+    assert(Audio.tryDecodeWav(patched(b => b(32) = 4)).isEmpty)
+    // fmt chunk declaring len 8 — would read past its boundary
+    assert(Audio.tryDecodeWav(patched(b => b(16) = 8)).isEmpty)
+    // data chunk appearing before any fmt chunk: sample width unknown
+    val noFmt = good.take(12) ++ good.drop(36) // strip the fmt chunk
+    assert(Audio.tryDecodeWav(noFmt).isEmpty)
+  }
+
   test("distributed features equal direct computation; corrupt rows dropped") {
     val rows = Seq(
       ("aud_1", Audio.encodeWav(Audio.samples(1L)), 1L),

@@ -116,6 +116,15 @@ class PlanSpec extends AnyFunSuite {
       docs.withColumn("lang_pred", graft.ml.TextStats.langIdCol(col("text"))),
       "doc_id", col("lang_pred"), Map("en" -> 0.5), 0.1, "s"))
     assert(!samp.contains("Exchange"), s"sampling shuffles:\n$samp")
+    // the rate lookup must reference the stratum expression exactly once
+    // (element_at on a map literal) — a when-chain inlines the stratum per
+    // branch, and langIdCol is itself a CASE, so the whole plan may carry
+    // at most 2 CASE instances (one in the pushed filter, one in the
+    // output projection); the old chain form carried 5+ (measured 1.9 s
+    // vs 0.3 s at sf0.1)
+    assert(samp.contains("element_at"), s"rate lookup is not element_at:\n$samp")
+    assert("CASE WHEN".r.findAllIn(samp).size <= 2,
+      s"stratum expression inlined more than twice:\n$samp")
   }
 
   test("LM score: count tables aggregate partially, no cartesian joins") {
