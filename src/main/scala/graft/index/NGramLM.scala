@@ -114,59 +114,98 @@ object NGramLM {
   }
 
   /**
-   * Distributed twin of [[Model.queryLogProb]]: score a SMALL set of
-   * candidate queries against the (possibly huge) count tables by JOINING
-   * their padded 4-gram positions against the counts — the model never
-   * leaves the cluster, unlike [[collectModel]]. The stupid-backoff CASE
-   * per position mirrors [[Model.stupidBackoff]] exactly: a level fires
-   * iff its prefix AND its n-gram are both present (count tables only hold
-   * positive counts, so presence == nonzero estimate); λ = 0.4 per skipped
-   * level; the unigram floor uses log(-Inf-safe) handling identical to
-   * `math.log(0)`.
+   * AT-REST form of the count tables: (n, gram_key, cnt) with the gram as
+   * a comma-joined string key — bucketable/sortable (Spark cannot bucket
+   * by an array column), and query-time key lookups push `gram_key IN
+   * (...)` to the scan, pruning buckets and row groups. The key is
+   * unambiguous: n == number of comma-separated ids.
+   */
+  def keyedCounts(counts: DataFrame): DataFrame =
+    counts.select(col("n"),
+      array_join(col("gram").cast("array<string>"), ",").as("gram_key"),
+      col("cnt"))
+
+  /** Unigram total word frequency from the keyed table — compute ONCE at
+   *  construction/load, never per query. */
+  def keyedTotal(keyed: DataFrame): Long =
+    Option(keyed.filter(col("n") === 1).agg(sum("cnt")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+
+  /** [[collectModel]] over the keyed at-rest form. */
+  def collectModelKeyed(keyed: DataFrame): Model = {
+    val rows = keyed.select("n", "gram_key", "cnt").collect()
+      .map(r => (r.getAs[Int]("n"),
+        parseKey(r.getAs[String]("gram_key")), r.getAs[Long]("cnt")))
+    def grams(n: Int): Map[Seq[Long], Long] =
+      rows.filter(_._1 == n).map(r => r._2 -> r._3).toMap
+    val uni = rows.filter(_._1 == 1).map(r => r._2.head -> r._3).toMap
+    Model(uni, grams(2), grams(3), grams(4), uni.values.sum)
+  }
+
+  private def parseKey(k: String): Seq[Long] =
+    if (k.isEmpty) Seq.empty else k.split(",").toSeq.map(_.toLong)
+  private def toKey(g: Seq[Long]): String = g.mkString(",")
+
+  /** Every gram a [[Model.queryLogProb]] walk over `q` can touch: for each
+   *  padded position, the numerator and prefix grams of all four backoff
+   *  levels — the exact lookup set of [[Model.stupidBackoff]]. */
+  def neededGrams(q: Seq[Long]): Seq[Seq[Long]] = {
+    val padded = Seq.fill(4)(StartId) ++ q :+ EndId
+    (4 until padded.length).flatMap { i =>
+      val Seq(p1, p2, p3) = padded.slice(i - 3, i)
+      val nxt = padded(i)
+      Seq(Seq(p1, p2, p3, nxt), Seq(p1, p2, p3), Seq(p2, p3, nxt),
+        Seq(p2, p3), Seq(p3, nxt), Seq(p3), Seq(nxt))
+    }
+  }
+
+  /**
+   * PARTIAL model for a SMALL set of candidate queries, built with ONE
+   * key-pruned lookup against the (possibly huge) keyed count table: the
+   * union of every candidate's [[neededGrams]] becomes a `gram_key IN
+   * (...)` filter (bucket- and row-group-prunable on the at-rest table; a
+   * columnar in-memory filter on a cached one), and the collected counts —
+   * probe-scale, never model-scale — populate a [[Model]] restricted to
+   * those grams. Restricted and full models agree EXACTLY on the probed
+   * queries because stupid backoff only ever consults the needed-gram set.
    *
-   * `candidates`: (cid, term-id sequence). Returns cid -> LM log-prob.
-   * Collected output is candidate-scale (= the reference's per-request
-   * candidate list), NOT model-scale.
+   * `total` is the full unigram mass ([[keyedTotal]]), computed once at
+   * construction — not per probe.
+   */
+  def probeModel(keyed: DataFrame, total: Long, queries: Seq[Seq[Long]]): Model = {
+    val keys = queries.flatMap(neededGrams).distinct.map(toKey)
+    val found: Map[String, Long] =
+      if (keys.isEmpty) Map.empty
+      else keyed.filter(col("gram_key").isin(keys: _*))
+        .select("gram_key", "cnt")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byN = found.toSeq.map { case (k, c) => (parseKey(k), c) }.groupBy(_._1.length)
+    def grams(n: Int): Map[Seq[Long], Long] = byN.getOrElse(n, Nil).toMap
+    Model(grams(1).map { case (g, c) => g.head -> c }, grams(2), grams(3), grams(4), total)
+  }
+
+  /**
+   * Distributed twin of [[Model.queryLogProb]] for a small candidate set:
+   * one [[probeModel]] lookup (the model never leaves the cluster; the
+   * collected counts are probe-scale — the reference's per-request
+   * candidate list, searcher.go:97-204), then driver arithmetic identical
+   * to the collected model. `candidates`: (cid, term-id sequence); returns
+   * cid -> LM log-prob.
    */
   def queryLogProbsDistributed(counts: DataFrame,
                                candidates: Seq[(Int, Seq[Long])]): Map[Int, Double] = {
     if (candidates.isEmpty) return Map.empty
-    val spark = counts.sparkSession
-    import spark.implicits._
-    val total = Option(counts.filter(col("n") === 1).agg(sum("cnt")).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val positions = candidates.flatMap { case (cid, q) =>
-      val padded = Seq.fill(4)(StartId) ++ q :+ EndId
-      (4 until padded.length).map { i =>
-        (cid, i, padded(i - 3), padded(i - 2), padded(i - 1), padded(i))
-      }
-    }
-    val pos = positions.toDF("cid", "pos", "p1", "p2", "p3", "nxt")
-    // one lookup table per n, joined on the gram array (tiny probe side —
-    // Spark broadcasts the POSITIONS, streaming the big counts side)
-    def cnts(n: Int) = counts.filter(col("n") === n).select(col("gram"), col("cnt"))
-    def lj(df: DataFrame, n: Int, key: Column, as: String): DataFrame =
-      df.join(cnts(n).select(col("gram").as(s"k_$as"), col("cnt").as(as)),
-        key === col(s"k_$as"), "left_outer").drop(s"k_$as")
-    val joined = Seq(
-      (4, array(col("p1"), col("p2"), col("p3"), col("nxt")), "q4"),
-      (3, array(col("p1"), col("p2"), col("p3")), "q3p"),
-      (3, array(col("p2"), col("p3"), col("nxt")), "t3"),
-      (2, array(col("p2"), col("p3")), "t2p"),
-      (2, array(col("p3"), col("nxt")), "b2"),
-      (1, array(col("p3")), "b1p"),
-      (1, array(col("nxt")), "u1")
-    ).foldLeft(pos) { case (df, (n, key, as)) => lj(df, n, key, as) }
-    val prob =
-      when(col("q3p").isNotNull && col("q4").isNotNull, col("q4") / col("q3p"))
-        .when(col("t2p").isNotNull && col("t3").isNotNull, lit(0.4) * col("t3") / col("t2p"))
-        .when(col("b1p").isNotNull && col("b2").isNotNull, lit(0.4 * 0.4) * col("b2") / col("b1p"))
-        .otherwise(lit(0.4 * 0.4 * 0.4) * coalesce(col("u1"), lit(0L)) / lit(math.max(1L, total)))
-    joined
-      .select(col("cid"),
-        when(prob > 0, log(prob)).otherwise(lit(Double.NegativeInfinity)).as("lp"))
-      .groupBy("cid").agg(sum("lp").as("lm_lp"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val keyed = keyedCounts(counts)
+    queryLogProbsProbed(keyed, keyedTotal(keyed), candidates)
+  }
+
+  /** [[queryLogProbsDistributed]] against a pre-keyed table with a
+   *  precomputed total — the serving path: exactly one Spark job. */
+  def queryLogProbsProbed(keyed: DataFrame, total: Long,
+                          candidates: Seq[(Int, Seq[Long])]): Map[Int, Double] = {
+    if (candidates.isEmpty) return Map.empty
+    val m = probeModel(keyed, total, candidates.map(_._2))
+    candidates.map { case (cid, q) => cid -> m.queryLogProb(q) }.toMap
   }
 
   /** Collect the count tables into a driver/broadcast Model. */

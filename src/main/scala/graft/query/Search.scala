@@ -69,11 +69,13 @@ class SearchIndex(docs: DataFrame, idCol: String, nameCol: String, addrCol: Stri
     .select(col("doc_id"), (col("nlen") + col("alen")).as("dl")).cache()
   lazy val avgDocLen: Double = docLen.agg(avg(col("dl"))).head().getDouble(0)
 
-  /** Vocabulary across both fields (term, freq, df) — broadcast-sized. */
-  lazy val vocabulary: DataFrame =
+  /** Vocabulary across both fields (term, freq, df). Fresh build: cached
+   *  in-session. Loaded from a store: the bucketed `idx_vocab` table is
+   *  served as-is (term lookups prune at scan, no rebuild). */
+  lazy val vocabulary: DataFrame = prebuilt.flatMap(_.vocab).getOrElse(
     TextIndex.vocab(postingsName.unionByName(postingsAddr)
       .groupBy("term", "doc_id").agg(sum("tf").as("tf")))
-      .cache()
+      .cache())
 
   private def termFilter(terms: Seq[String])(df: DataFrame): DataFrame =
     df.filter(col("term").isin(terms: _*))
@@ -199,9 +201,11 @@ class SearchIndex(docs: DataFrame, idCol: String, nameCol: String, addrCol: Stri
 }
 
 object SearchIndex {
-  /** Prebuilt index artifacts for the at-rest path. */
+  /** Prebuilt index artifacts for the at-rest path; `vocab` rides along
+   *  when the store persisted it (older stores rebuild it on access). */
   case class Tables(postingsName: DataFrame, postingsAddr: DataFrame,
-                    lenName: DataFrame, lenAddr: DataFrame)
+                    lenName: DataFrame, lenAddr: DataFrame,
+                    vocab: Option[DataFrame] = None)
 }
 
 /**
@@ -220,17 +224,30 @@ object SearchIndexStore {
 
   val NBuckets = 8
 
-  /** Build and persist every index artifact; idempotent (completed stages
-   *  are skipped on re-run). */
+  /**
+   * Build and persist every index artifact; idempotent (completed stages
+   * are skipped on re-run). Beyond the scoring tables, the MODEL artifacts
+   * of the composed [[Searcher]] are persisted too — the engine twin of
+   * the reference's ngram.index (ngram_lm.go:386-423), noisy_model.index
+   * (spell_corrector.go:453-490) and term map (indexer.go:872-903):
+   *  - `idx_vocab` (term, freq, df), bucketed by term;
+   *  - `idx_dict` (t, term_id, lmid), bucketed by t;
+   *  - `idx_spell_nbr` — the deletion neighborhood with lmid riding along,
+   *    bucketed by del_key so query probes prune;
+   *  - `idx_lm_counts` — keyed n-gram counts (n, gram_key, cnt), bucketed
+   *    by gram_key so LM probes prune;
+   *  - `idx_noisy` — the noisy-channel confusion counts.
+   */
   def write(spark: SparkSession, docs: DataFrame, idCol: String,
-            nameCol: String, addrCol: String, dir: String): Unit = {
+            nameCol: String, addrCol: String, dir: String,
+            spellErrorLines: Iterable[String] = Nil): Unit = {
     TableIO.bucketedStage(spark, dir, "idx_docs", "doc_id", NBuckets) {
       docs.withColumnRenamed(idCol, "doc_id")
     }
-    TableIO.bucketedStage(spark, dir, "idx_postings_name", "term", NBuckets) {
+    val pn = TableIO.bucketedStage(spark, dir, "idx_postings_name", "term", NBuckets) {
       TextIndex.postings(docs, idCol, nameCol)
     }
-    TableIO.bucketedStage(spark, dir, "idx_postings_addr", "term", NBuckets) {
+    val pa = TableIO.bucketedStage(spark, dir, "idx_postings_addr", "term", NBuckets) {
       TextIndex.postings(docs, idCol, addrCol)
     }
     TableIO.bucketedStage(spark, dir, "idx_len_name", "doc_id", NBuckets) {
@@ -239,21 +256,67 @@ object SearchIndexStore {
     TableIO.bucketedStage(spark, dir, "idx_len_addr", "doc_id", NBuckets) {
       TextIndex.fieldLengths(docs, idCol, addrCol)
     }
+    // model artifacts derive from the STAGED postings (bucketed by term:
+    // the term,doc_id grouping below re-uses the bucketing — no shuffle)
+    val vocab = TableIO.bucketedStage(spark, dir, "idx_vocab", "term", NBuckets) {
+      TextIndex.vocab(pn.unionByName(pa)
+        .groupBy("term", "doc_id").agg(sum("tf").as("tf")))
+    }
+    val dict = TableIO.bucketedStage(spark, dir, "idx_dict", "t", NBuckets) {
+      Searcher.dictOf(vocab)
+    }
+    TableIO.bucketedStage(spark, dir, "idx_spell_nbr", "del_key", NBuckets) {
+      Searcher.neighborhoodOf(vocab, dict)
+    }
+    TableIO.bucketedStage(spark, dir, "idx_lm_counts", "gram_key", NBuckets) {
+      graft.index.NGramLM.keyedCounts(
+        Searcher.lmCountTables(docs, idCol, nameCol, addrCol, dict))
+    }
+    TableIO.stage(spark, dir, "idx_noisy") {
+      graft.spell.SpellCorrector.noisyToDf(spark,
+        graft.spell.SpellCorrector.buildNoisyModel(spellErrorLines))
+    }
   }
+
+  private def served(spark: SparkSession, dir: String)(name: String, key: String) =
+    TableIO.bucketedStage(spark, dir, name, key, NBuckets) {
+      sys.error(s"stage $name missing under $dir — run SearchIndexStore.write first")
+    }
 
   /** Serve from the persisted artifacts (no rebuild, no in-session cache —
    *  the bucketed tables are the index). Works in a fresh session: the
    *  stages re-register from their manifests. */
   def load(spark: SparkSession, dir: String): SearchIndex = {
-    def t(name: String, key: String) =
-      TableIO.bucketedStage(spark, dir, name, key, NBuckets) {
-        sys.error(s"stage $name missing under $dir — run SearchIndexStore.write first")
-      }
+    val t = served(spark, dir) _
     val docs = t("idx_docs", "doc_id")
+    // vocab stage is optional for backward compatibility with stores
+    // written before the model artifacts existed
+    val vocab = if (TableIO.isComplete(dir, "idx_vocab"))
+      Some(t("idx_vocab", "term")) else None
     new SearchIndex(docs, "doc_id", "", "",
       prebuilt = Some(SearchIndex.Tables(
         t("idx_postings_name", "term"), t("idx_postings_addr", "term"),
-        t("idx_len_name", "doc_id"), t("idx_len_addr", "doc_id"))))
+        t("idx_len_name", "doc_id"), t("idx_len_addr", "doc_id"), vocab)))
+  }
+
+  /** Serve the COMPOSED [[Searcher]] from the persisted artifacts — the
+   *  reference server's lifecycle (cmd/server/main.go:33-57): load, never
+   *  rebuild. Every model structure stays a bucketed at-rest table; query
+   *  probes prune at the scan. */
+  def loadSearcher(spark: SparkSession, dir: String,
+                   maxDriverVocab: Long = Searcher.DefaultMaxDriverVocab): Searcher = {
+    val t = served(spark, dir) _
+    val idx = load(spark, dir)
+    val docs = t("idx_docs", "doc_id")
+    val noisy = graft.spell.SpellCorrector.noisyFromDf(
+      TableIO.stage(spark, dir, "idx_noisy") {
+        sys.error(s"stage idx_noisy missing under $dir — run SearchIndexStore.write first")
+      })
+    new Searcher(docs, "doc_id", "", "",
+      maxDriverVocab = maxDriverVocab,
+      store = Some(Searcher.ModelTables(idx,
+        t("idx_dict", "t"), t("idx_spell_nbr", "del_key"),
+        t("idx_lm_counts", "gram_key"), Some(noisy))))
   }
 }
 

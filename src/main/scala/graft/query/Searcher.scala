@@ -20,15 +20,28 @@ import graft.spell.{SpellCorrector, SpellJoin}
  *    (kAutoComplete=3, spell_corrector.go:406-408), each scored BM25F,
  *    unioned, globally ranked.
  *
+ * Model-state lifecycle (mirrors the reference's index artifacts:
+ * ngram_lm.go:386-423 persists the LM, spell_corrector.go:453-490 the
+ * noisy model, indexer.go:872-903 the term map; the server loads and
+ * serves, cmd/server/main.go:33-57): the dictionary ([[Searcher.dictOf]]),
+ * deletion neighborhood ([[Searcher.neighborhoodOf]]) and keyed n-gram
+ * count tables ([[Searcher.lmCountTables]]) are built ONCE — in-session
+ * they are built lazily and cached on first use; at rest they are bucketed
+ * tables written by [[SearchIndexStore.write]] and served without rebuild
+ * by [[Searcher.fromStore]]. No query ever re-aggregates the corpus.
+ *
  * Scale split (SURVEY §3.1): the reference holds the vocabulary, n-gram
  * counts and confusion matrices in server RAM (searcher.go:37-73). The
  * engine mirrors that ONLY while the vocabulary fits `maxDriverVocab`
- * terms; past the budget every model-sized structure stays distributed:
- *  - candidate generation = deletion-neighborhood equi-join
- *    ([[graft.spell.SpellJoin]]) instead of a vocabulary collect/scan,
- *  - LM scoring = joins of the candidate positions against the n-gram
- *    count tables ([[NGramLM.queryLogProbsDistributed]]) instead of
- *    [[NGramLM.collectModel]].
+ * terms (the collected [[NGramLM.Model]]); past the budget every
+ * model-sized structure stays distributed and each request runs exactly
+ * two key-pruned probe jobs:
+ *  1. candidate generation — ONE `del_key IN (...)` probe of the
+ *     neighborhood table for ALL the request's tokens at once
+ *     ([[SpellJoin.candidatesBatch]]; LM ids ride along on the rows), and
+ *  2. LM scoring — ONE `gram_key IN (...)` probe of the count tables
+ *     covering every gram stupid backoff can touch
+ *     ([[NGramLM.probeModel]]).
  * Driver-resident data on the distributed path is bounded by the
  * per-request candidate set (the reference's own per-request scale), never
  * by the corpus. Scoring/top-k/hydration are distributed jobs in both
@@ -36,115 +49,88 @@ import graft.spell.{SpellCorrector, SpellJoin}
  */
 class Searcher(docs: DataFrame, idCol: String, nameCol: String, addrCol: String,
                spellErrorLines: Iterable[String] = Nil,
-               maxDriverVocab: Long = Searcher.DefaultMaxDriverVocab) {
+               maxDriverVocab: Long = Searcher.DefaultMaxDriverVocab,
+               store: Option[Searcher.ModelTables] = None) {
 
-  val index = new SearchIndex(docs, idCol, nameCol, addrCol)
+  val index: SearchIndex = store.map(_.index)
+    .getOrElse(new SearchIndex(docs, idCol, nameCol, addrCol))
 
   /** True when the vocabulary exceeds the driver budget: all model state
    *  stays distributed (one count job decides the mode at construction). */
   val distributed: Boolean = index.vocabulary.count() > maxDriverVocab
 
-  private val noisy = SpellCorrector.buildNoisyModel(spellErrorLines)
+  private val noisy: SpellCorrector.NoisyModel = store.flatMap(_.noisy)
+    .getOrElse(SpellCorrector.buildNoisyModel(spellErrorLines))
+
+  // ---- model tables (shared by both modes; built once, never per query) --
+
+  /** (t, term_id, lmid): sorted-rank ids (deterministic, vs the reference's
+   *  first-seen mutex counter, util.go:16-42) with the UNK-thresholded LM
+   *  id alongside (hapax -> <UNK>, ngram_lm.go:69-110). */
+  private[graft] lazy val dict: DataFrame =
+    store.map(_.dict).getOrElse(Searcher.dictOf(index.vocabulary).cache())
+
+  /** Deletion-neighborhood candidate index (del_key, term, freq, lmid) —
+   *  at rest: bucketed by del_key ([[SearchIndexStore]]). */
+  private[graft] lazy val spellNbr: DataFrame =
+    store.map(_.spellNbr)
+      .getOrElse(Searcher.neighborhoodOf(index.vocabulary, dict).cache())
+
+  /** Keyed n-gram count tables (n, gram_key, cnt) — at rest: bucketed by
+   *  gram_key. Built WITHOUT collecting the dictionary (ids map by join;
+   *  empty docs keep their padded grams, exactly like the collected path). */
+  private[graft] lazy val lmKeyed: DataFrame =
+    store.map(_.lmKeyed).getOrElse(NGramLM.keyedCounts(
+      Searcher.lmCountTables(docs, idCol, nameCol, addrCol, dict)).cache())
+
+  /** Unigram mass — one job at first use, a constant thereafter. */
+  private lazy val lmTotal: Long = NGramLM.keyedTotal(lmKeyed)
 
   // ---- collected-mode state (reference-faithful, vocab <= budget) --------
 
-  /** Deterministic term dictionary: sorted-vocab rank (ids from 3; 0-2 are
-   *  <s>, </s>, <UNK>) — replaces the reference's first-seen mutex counter
-   *  (util.go:16-42), which cannot distribute. */
-  private lazy val termIdMap: Map[String, Long] = {
-    val terms = index.vocabulary.select("term").orderBy("term")
-      .collect().map(_.getString(0))
-    terms.zipWithIndex.map { case (t, i) => t -> (i + 3L) }.toMap
+  /** term -> LM id for the whole vocabulary (hapax already <UNK> in dict). */
+  private lazy val lmIdMap: Map[String, Long] =
+    dict.select("t", "lmid").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def lmTermId(t: String): Long = lmIdMap.getOrElse(t, NGramLM.UnkId)
+
+  /** The reference's in-RAM LM (searcher.go:37-73), collected once from
+   *  the same count tables the distributed path probes. */
+  private lazy val lm: NGramLM.Model = NGramLM.collectModelKeyed(lmKeyed)
+
+  // ---- distributed-mode candidate generation -----------------------------
+
+  /** All tokens probed in ONE job; candidates sorted (dist, term) for
+   *  deterministic cartesian expansion under the candidate cap. */
+  private def batchCandidates(tokens: Seq[String]): Map[String, Seq[SpellJoin.Cand]] =
+    SpellJoin.candidatesBatch(spellNbr, tokens, SpellJoin.MaxDeletes)
+      .map { case (t, cs) => t -> cs.sortBy(c => (c.dist, c.term)) }
+
+  /** Per-token candidate terms from the probe, with the reference's
+   *  fallback ladder: vocabulary hit -> edit1 -> edit2 -> keep as-is. */
+  private def candsFor(probe: Map[String, Seq[SpellJoin.Cand]], t: String): Seq[String] = {
+    val rows = probe.getOrElse(t, Seq.empty)
+    if (rows.exists(_.dist == 0)) Seq(t)
+    else {
+      val d1 = rows.filter(_.dist <= 1).map(_.term)
+      val cs = if (d1.nonEmpty) d1 else rows.map(_.term)
+      if (cs.nonEmpty) cs else Seq(t) // unknown, uncorrectable: keep as-is
+    }
   }
 
-  /** Terms the LM keeps: corpus frequency >= COUNT_THRESOLD_NGRAM over the
-   *  name++address token stream. The reference ALWAYS builds (and queries)
-   *  its LM over the UNK-thresholded corpus (ngram_lm.go:69-110); words
-   *  below the threshold are <UNK> on both the build and the query path.
-   *  vocabulary.freq IS that corpus frequency (sum of tf over both fields),
-   *  so no extra distributed pass is needed. */
-  private lazy val lmKeep: Set[String] = index.vocabulary
-    .filter(col("freq") >= NGramLM.CountThreshold)
-    .select("term").collect().map(_.getString(0)).toSet
-
-  /** Query-side LM id: hapax words map to <UNK>, like the build side. */
-  private def lmTermId(t: String): Long =
-    if (lmKeep.contains(t)) termIdMap.getOrElse(t, NGramLM.UnkId) else NGramLM.UnkId
-
-  private lazy val lm: NGramLM.Model = {
-    val spark = docs.sparkSession
-    // local copies: a closure over the `termId` METHOD would capture `this`
-    // (and its DataFrames) and fail task serialization
-    val tid = termIdMap
-    val unk = NGramLM.UnkId
-    val keep = lmKeep
-    // UNK thresholding applied AT the id mapping (equivalent to
-    // NGramLM.replaceOOV over the id stream, without the extra pass)
-    val toIds = udf((ts: Seq[String]) =>
-      ts.map(t => if (keep.contains(t)) tid.getOrElse(t, unk) else unk))
-    val termDocs = docs
-      .select(graft.sources.Derived.tokens(
-        concat_ws(" ", col(nameCol), col(addrCol))).as("toks"))
-      .select(toIds(col("toks")).as("terms"))
-    NGramLM.collectModel(NGramLM.countTables(termDocs))
-  }
-
-  // ---- distributed-mode state (vocab > budget) ---------------------------
-
-  /** (t, term_id, lmid): sorted-rank ids via distributed zipWithIndex, with
-   *  the UNK-thresholded LM id alongside (hapax -> <UNK>). */
-  private lazy val dict: DataFrame =
-    TextIndex.termIds(index.vocabulary)
-      .join(index.vocabulary.select(col("term"), col("freq")), Seq("term"))
-      .select(col("term").as("t"), col("term_id"),
-        when(col("freq") >= NGramLM.CountThreshold, col("term_id"))
-          .otherwise(lit(NGramLM.UnkId)).as("lmid"))
-
-  /** Deletion-neighborhood candidate index (persist via
-   *  TableIO.bucketedStage(key = "del_key") at warehouse scale). */
-  private lazy val spellNbr: DataFrame = SpellJoin.neighborhood(index.vocabulary)
-
-  /** N-gram count tables built WITHOUT collecting the dictionary: tokens
-   *  map to LM ids by join; empty docs are preserved (their padded grams
-   *  count, exactly as on the collected path). */
-  private lazy val lmCounts: DataFrame = {
-    val exploded = docs
-      .select(col(idCol).as("did"),
-        posexplode(graft.sources.Derived.tokens(
-          concat_ws(" ", col(nameCol), col(addrCol)))).as(Seq("pos", "t")))
-    val grouped = exploded
-      .join(dict.select(col("t"), col("lmid")), Seq("t"), "left")
-      .select(col("did"), col("pos"), coalesce(col("lmid"), lit(NGramLM.UnkId)).as("tid"))
-      .groupBy("did")
-      .agg(array_sort(collect_list(struct(col("pos"), col("tid")))).as("ps"))
-      .select(col("did"), transform(col("ps"), p => p("tid")).as("terms"))
-    val termDocs = docs.select(col(idCol).as("did")).join(grouped, Seq("did"), "left")
-      .select(coalesce(col("terms"), array().cast("array<long>")).as("terms"))
-    NGramLM.countTables(termDocs)
-  }
-
-  /** Exact-key membership probe (a del_key == term row always exists). */
-  private def inVocab(t: String): Boolean =
-    spellNbr.filter(col("del_key") === t && col("term") === t).limit(1).count() > 0
-
-  private def joinCandidates(t: String, maxDist: Int): Seq[String] =
-    SpellJoin.candidates(spellNbr, t, maxDist)
-      .select("term").collect().map(_.getString(0)).toSeq
-
-  /** LM ids for a small set of candidate terms, via one join-backed probe
-   *  (collected result is candidate-scale, not vocab-scale). */
-  private def lmIdsFor(terms: Seq[String]): Map[String, Long] =
-    if (terms.isEmpty) Map.empty
-    else dict.filter(col("t").isin(terms.distinct: _*))
-      .select(col("t"), col("lmid"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-
-  /** Rank candidate queries (distributed LM + driver noisy-channel; edit
-   *  probs are per-candidate arithmetic, not model lookups). */
+  /** Rank candidate queries: distributed LM probe + driver noisy-channel
+   *  (edit probs are per-candidate arithmetic, not model lookups).
+   *  `knownIds`: term -> LM id already learned from the candidate probe;
+   *  only terms outside it (e.g. prefix completions) cost a dict lookup. */
   private def rankDistributed(candidates: Seq[Seq[String]], tokens: Seq[String],
-                              topK: Int): Seq[Seq[String]] = {
-    val ids = lmIdsFor(candidates.flatten)
-    val lmScores = NGramLM.queryLogProbsDistributed(lmCounts,
+                              topK: Int, knownIds: Map[String, Long]): Seq[Seq[String]] = {
+    val missing = candidates.flatten.distinct.filterNot(knownIds.contains)
+    val ids = knownIds ++ (
+      if (missing.isEmpty) Map.empty
+      else dict.filter(col("t").isin(missing: _*)).select("t", "lmid")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val lmScores = NGramLM.queryLogProbsProbed(lmKeyed, lmTotal,
       candidates.zipWithIndex.map { case (c, i) =>
         (i, c.map(t => ids.getOrElse(t, NGramLM.UnkId)))
       })
@@ -155,34 +141,38 @@ class Searcher(docs: DataFrame, idCol: String, nameCol: String, addrCol: String,
       .take(topK).map(_._1)
   }
 
-  // ---- mode dispatch -----------------------------------------------------
+  private def rankCollected(candidates: Seq[Seq[String]], tokens: Seq[String],
+                            topK: Int): Seq[Seq[String]] =
+    SpellCorrector.rankCandidates(candidates, tokens, lm, lmTermId, noisy, topK)
 
-  private def tokenCandidates(t: String): Seq[String] = {
-    val hit = if (distributed) inVocab(t) else termIdMap.contains(t)
-    if (hit) Seq(t)
-    else {
-      def at(d: Int) =
-        if (distributed) joinCandidates(t, d)
-        else SpellCorrector.editCandidates(index.vocabulary, t, d)
-      val c1 = at(1)
-      val cs = if (c1.nonEmpty) c1 else at(2)
-      if (cs.nonEmpty) cs else Seq(t) // unknown, uncorrectable: keep as-is
-    }
-  }
-
-  private def rank(candidates: Seq[Seq[String]], tokens: Seq[String],
-                   topK: Int): Seq[Seq[String]] =
-    if (distributed) rankDistributed(candidates, tokens, topK)
-    else SpellCorrector.rankCandidates(candidates, tokens, lm, lmTermId, noisy, topK)
+  // ---- composed lifecycles -----------------------------------------------
 
   /** Per-token candidate generation + LM/noisy ranking → corrected tokens
-   *  (FreeFormQuery steps 3-6). */
+   *  (FreeFormQuery steps 3-6). Distributed mode: exactly one neighborhood
+   *  probe + one LM probe per request, regardless of token count. */
   def correct(query: String): Seq[String] = {
     val tokens = Tokenizer.tokenize(query)
     if (tokens.isEmpty) return tokens
-    val perToken = tokens.map(tokenCandidates)
-    val candidates = SpellCorrector.queryCandidates(perToken)
-    rank(candidates, tokens, 1).head
+    if (distributed) {
+      val probe = batchCandidates(tokens)
+      val perToken = tokens.map(t => candsFor(probe, t))
+      val candidates = SpellCorrector.queryCandidates(perToken)
+      val knownIds = probe.values.flatten
+        .flatMap(c => c.lmid.map(c.term -> _)).toMap
+      rankDistributed(candidates, tokens, 1, knownIds).head
+    } else {
+      // lmIdMap keys the WHOLE vocabulary (hapax terms carry lmid=<UNK> but
+      // are present), so membership is a driver map hit
+      val perToken = tokens.map { t =>
+        if (lmIdMap.contains(t)) Seq(t)
+        else {
+          val c1 = SpellCorrector.editCandidates(index.vocabulary, t, 1)
+          val cs = if (c1.nonEmpty) c1 else SpellCorrector.editCandidates(index.vocabulary, t, 2)
+          if (cs.nonEmpty) cs else Seq(t)
+        }
+      }
+      rankCollected(SpellCorrector.queryCandidates(perToken), tokens, 1).head
+    }
   }
 
   /** /api/search composed end-to-end. */
@@ -197,15 +187,24 @@ class Searcher(docs: DataFrame, idCol: String, nameCol: String, addrCol: String,
     val tokens = Tokenizer.tokenize(query)
     if (tokens.isEmpty) return docs.sparkSession.emptyDataFrame
     val last = tokens.last
-    val edits =
-      if (distributed) joinCandidates(last, 1) ++ joinCandidates(last, 2)
-      else SpellCorrector.editCandidates(index.vocabulary, last, 1) ++
-        SpellCorrector.editCandidates(index.vocabulary, last, 2)
+    val (edits, knownIds) =
+      if (distributed) {
+        val probe = batchCandidates(Seq(last))
+        val rows = probe.getOrElse(last, Seq.empty)
+        (rows.map(_.term),
+          rows.flatMap(c => c.lmid.map(c.term -> _)).toMap)
+      } else
+        (SpellCorrector.editCandidates(index.vocabulary, last, 1) ++
+          SpellCorrector.editCandidates(index.vocabulary, last, 2),
+          Map.empty[String, Long])
     val completions = (index.prefixCandidates(last, max = 10) ++ edits).distinct
     val candidateQueries =
       if (completions.isEmpty) Seq(tokens)
       else completions.map(c => tokens.init :+ c)
-    val top3 = rank(candidateQueries, tokens, SpellCorrector.KAutocomplete)
+    val top3 =
+      if (distributed)
+        rankDistributed(candidateQueries, tokens, SpellCorrector.KAutocomplete, knownIds)
+      else rankCollected(candidateQueries, tokens, SpellCorrector.KAutocomplete)
     val scored = top3.map(index.bm25f).reduce(_ unionByName _)
       .groupBy("doc_id").agg(max("score").as("score"))
     val ranked = scored.orderBy(desc("score"), col("doc_id"))
@@ -220,4 +219,56 @@ object Searcher {
    *  a web-scale caption corpus trips it and every model structure stays
    *  distributed. */
   val DefaultMaxDriverVocab: Long = 10000000L
+
+  /** At-rest model artifacts served without rebuild ([[fromStore]]). */
+  case class ModelTables(index: SearchIndex, dict: DataFrame, spellNbr: DataFrame,
+                         lmKeyed: DataFrame, noisy: Option[SpellCorrector.NoisyModel])
+
+  /** Serve a [[Searcher]] from a persisted [[SearchIndexStore]] — the
+   *  reference's server lifecycle (load artifacts and serve,
+   *  cmd/server/main.go:33-57). No corpus pass, no model rebuild. */
+  def fromStore(spark: SparkSession, dir: String,
+                maxDriverVocab: Long = DefaultMaxDriverVocab): Searcher =
+    SearchIndexStore.loadSearcher(spark, dir, maxDriverVocab)
+
+  /** Deterministic term dictionary (t, term_id, lmid): sorted-vocab rank
+   *  (ids from 3; 0-2 are <s>, </s>, <UNK>), lmid = term_id when corpus
+   *  freq >= COUNT_THRESOLD_NGRAM else <UNK> — the reference ALWAYS builds
+   *  (and queries) its LM over the UNK-thresholded corpus
+   *  (ngram_lm.go:69-110). vocabulary.freq IS that corpus frequency (sum
+   *  of tf over both fields), so no extra distributed pass is needed. */
+  def dictOf(vocab: DataFrame): DataFrame =
+    TextIndex.termIds(vocab)
+      .join(vocab.select(col("term"), col("freq")), Seq("term"))
+      .select(col("term").as("t"), col("term_id"),
+        when(col("freq") >= NGramLM.CountThreshold, col("term_id"))
+          .otherwise(lit(NGramLM.UnkId)).as("lmid"))
+
+  /** Deletion neighborhood with the LM id riding along on every row, so a
+   *  candidate probe needs no second id-lookup job. */
+  def neighborhoodOf(vocab: DataFrame, dict: DataFrame): DataFrame =
+    SpellJoin.neighborhood(vocab)
+      .join(dict.select(col("t").as("term"), col("lmid")), Seq("term"))
+      .select(col("del_key"), col("term"), col("freq"), col("lmid"))
+
+  /** N-gram count tables (n, gram array, cnt) built WITHOUT collecting the
+   *  dictionary: tokens map to LM ids by join; empty docs are preserved
+   *  (their padded grams count, exactly as in the reference's
+   *  addStartEndToken over every doc). */
+  def lmCountTables(docs: DataFrame, idCol: String, nameCol: String,
+                    addrCol: String, dict: DataFrame): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("did"),
+        posexplode(graft.sources.Derived.tokens(
+          concat_ws(" ", col(nameCol), col(addrCol)))).as(Seq("pos", "t")))
+    val grouped = exploded
+      .join(dict.select(col("t"), col("lmid")), Seq("t"), "left")
+      .select(col("did"), col("pos"), coalesce(col("lmid"), lit(NGramLM.UnkId)).as("tid"))
+      .groupBy("did")
+      .agg(array_sort(collect_list(struct(col("pos"), col("tid")))).as("ps"))
+      .select(col("did"), transform(col("ps"), p => p("tid")).as("terms"))
+    val termDocs = docs.select(col(idCol).as("did")).join(grouped, Seq("did"), "left")
+      .select(coalesce(col("terms"), array().cast("array<long>")).as("terms"))
+    NGramLM.countTables(termDocs)
+  }
 }

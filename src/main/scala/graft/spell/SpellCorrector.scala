@@ -115,6 +115,37 @@ object SpellCorrector {
     NoisyModel(uni.toMap, bi.toMap, ec.toMap)
   }
 
+  private val EditNames: Map[Edit, String] = Map(
+    Insertion -> "ins", Deletion -> "del",
+    Substitution -> "sub", Transposition -> "tra")
+  private val EditByName: Map[String, Edit] = EditNames.map(_.swap)
+
+  /** At-rest form of a [[NoisyModel]] — the engine twin of the reference's
+   *  noisy_model.index (spell_corrector.go:453-490): one tiny table
+   *  (kind, c1, c2, cnt) holding the char unigram/bigram/confusion counts. */
+  def noisyToDf(spark: SparkSession, m: NoisyModel): DataFrame =
+    spark.createDataFrame(
+      m.unigram.toSeq.map { case (c, n) => ("uni", c.toString, "", n) } ++
+        m.bigram.toSeq.map { case ((a, b), n) => ("bi", a.toString, b.toString, n) } ++
+        m.editCount.toSeq.map { case ((e, c1, c2), n) =>
+          (s"edit:${EditNames(e)}", c1.toString, c2.toString, n)
+        }).toDF("kind", "c1", "c2", "cnt")
+
+  /** Inverse of [[noisyToDf]]; the table is confusion-matrix-sized. */
+  def noisyFromDf(df: DataFrame): NoisyModel = {
+    val rows = df.select("kind", "c1", "c2", "cnt").collect()
+    val uni = rows.filter(_.getString(0) == "uni")
+      .map(r => r.getString(1).head -> r.getInt(3)).toMap
+    val bi = rows.filter(_.getString(0) == "bi")
+      .map(r => (r.getString(1).head, r.getString(2).head) -> r.getInt(3)).toMap
+    val ec = rows.filter(_.getString(0).startsWith("edit:"))
+      .map { r =>
+        (EditByName(r.getString(0).stripPrefix("edit:")),
+          r.getString(1).head, r.getString(2).head) -> r.getInt(3)
+      }.toMap
+    NoisyModel(uni, bi, ec)
+  }
+
   /**
    * Edit-distance candidates from the vocabulary — the FST x Levenshtein-DFA
    * walk (:273-302) recast as a filter on the broadcast-sized vocab

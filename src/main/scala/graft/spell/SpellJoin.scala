@@ -82,4 +82,75 @@ object SpellJoin {
       .withColumn("dist", levenshtein(col("term"), lit(token), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
+
+  /** One candidate row of [[candidatesBatch]]; `lmid` is populated when the
+   *  probed neighborhood carries an `lmid` column (the Searcher's build
+   *  joins it in so LM ids ride along with the candidates — no second
+   *  lookup job per request). */
+  case class Cand(term: String, freq: Long, dist: Int, lmid: Option[Long])
+
+  /**
+   * ALL tokens of a request probed in ONE job: the union of every token's
+   * deletion variants selects neighborhood rows by key equality (a single
+   * pushdown-friendly `del_key IN (...)` scan), and the per-token exact
+   * levenshtein refine runs driver-side over the collected candidate rows
+   * — request-scale, like the reference's per-query candidate list. Row
+   * sets per token are IDENTICAL to [[candidates]] (asserted in
+   * SpellJoinSpec); the difference is one Spark job per request instead of
+   * one (or more) per token.
+   */
+  def candidatesBatch(neighborhood: DataFrame, tokens: Seq[String],
+                      maxDist: Int = MaxDeletes): Map[String, Seq[Cand]] = {
+    require(maxDist <= MaxDeletes, s"neighborhood is built for <=$MaxDeletes deletions")
+    if (tokens.isEmpty) return Map.empty
+    val perToken = tokens.distinct.map(t => t -> deletionVariants(t, maxDist))
+    val allKeys = perToken.flatMap(_._2).distinct
+    val hasLmid = neighborhood.columns.contains("lmid")
+    val cols = if (hasLmid) Seq("del_key", "term", "freq", "lmid")
+      else Seq("del_key", "term", "freq")
+    // no distributed distinct: neighborhood rows are unique per
+    // (term, variant) by construction, and the per-token refine below
+    // dedups driver-side — a distinct() here would add a shuffle and,
+    // under AQE, a second Spark job to what is otherwise ONE scan
+    val rows = neighborhood.filter(col("del_key").isin(allKeys: _*))
+      .select(cols.head, cols.tail: _*)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (hasLmid) Some(r.getLong(3)) else None))
+    val byKey = rows.groupBy(_._1)
+    perToken.map { case (t, keys) =>
+      val cands = keys.flatMap(k => byKey.getOrElse(k, Array.empty))
+        .map { case (_, term, freq, lmid) => (term, freq, lmid) }.distinct
+        .flatMap { case (term, freq, lmid) =>
+          val d = levenshteinBounded(term, t, maxDist)
+          if (d >= 0) Some(Cand(term, freq, d, lmid)) else None
+        }
+      t -> cands
+    }.toMap
+  }
+
+  /** Driver-side bounded levenshtein with the same contract as Spark's
+   *  `levenshtein(l, r, bound)`: the distance, or -1 when it exceeds
+   *  `bound`. Classic DP over two rows; candidate terms are short. */
+  def levenshteinBounded(a: String, b: String, bound: Int): Int = {
+    if (math.abs(a.length - b.length) > bound) return -1
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var curr = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      curr(0) = i
+      var rowMin = i
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        curr(j) = math.min(math.min(prev(j) + 1, curr(j - 1) + 1), prev(j - 1) + cost)
+        rowMin = math.min(rowMin, curr(j))
+        j += 1
+      }
+      if (rowMin > bound) return -1
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    if (prev(b.length) <= bound) prev(b.length) else -1
+  }
 }

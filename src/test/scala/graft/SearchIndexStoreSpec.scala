@@ -51,6 +51,77 @@ class SearchIndexStoreSpec extends AnyFunSuite {
       s"expected a term IN pushdown in:\n$plan")
   }
 
+  private lazy val searcherDocs = {
+    import spark.implicits._
+    Seq(
+      (1L, "Jalan Sentosa Harapan", "Jalan Sentosa no 4"),
+      (2L, "Dunia Fantasi", "Jalan Lodan Timur no 7"),
+      (3L, "Kebun Binatang Ragunan", "Jalan Harsono no 1"),
+      (4L, "Monumen Nasional", "Gambir Jakarta Pusat"),
+      (5L, "Taman Mini Indonesia Indah", "Ceger Cipayung Jakarta Timur"),
+      (6L, "Taman Suropati", "Menteng Jakarta Pusat")
+    ).toDF("doc_id", "name", "address")
+  }
+  private val spellLines = Seq(
+    "dunia: duniu, dunai", "fantasi: fsntaso, fantasy",
+    "binatang: bibatqng", "ragunan: raginan")
+
+  test("composed Searcher served from the store: identical corrections and hits, " +
+    "both driver-model and distributed regimes, no rebuild") {
+    import graft.query.Searcher
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-model").toString
+    SearchIndexStore.write(spark, searcherDocs, "doc_id", "name", "address", dir, spellLines)
+    val built = new Searcher(searcherDocs, "doc_id", "name", "address", spellLines)
+
+    for (budget <- Seq(Searcher.DefaultMaxDriverVocab, 1L)) {
+      val served = SearchIndexStore.loadSearcher(spark, dir, maxDriverVocab = budget)
+      assert(served.distributed == (budget == 1L))
+      assert(served.correct("Duniu Fsntaso") == Seq("dunia", "fantasi"))
+      assert(served.correct("Kebun Bibatqng Raginan") == built.correct("Kebun Bibatqng Raginan"))
+      val sf = served.freeFormQuery("Duniu Fsntaso", 3)
+        .select(col("doc_id"), Derived.q6(col("score")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bf = built.freeFormQuery("Duniu Fsntaso", 3)
+        .select(col("doc_id"), Derived.q6(col("score")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sf == bf && sf.nonEmpty, s"freeFormQuery parity (budget=$budget)")
+      val ac = served.autocomplete("Monumen Nasi", 3).select("name")
+        .collect().map(_.getString(0))
+      assert(ac.exists(_.contains("Monumen Nasional")), s"autocomplete (budget=$budget)")
+    }
+  }
+
+  test("served distributed Searcher probes the bucketed tables: 2 jobs per correct(), " +
+    "key pushdown on the at-rest neighborhood and count scans") {
+    import graft.query.Searcher
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-probe").toString
+    SearchIndexStore.write(spark, searcherDocs, "doc_id", "name", "address", dir, spellLines)
+    val served = SearchIndexStore.loadSearcher(spark, dir, maxDriverVocab = 1L)
+    assert(served.distributed)
+    served.correct("Duniu Fsntaso") // warm (computes the unigram total once)
+    val sc = spark.sparkContext
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    sc.addSparkListener(listener)
+    try {
+      assert(served.correct("Kebun Bibatqng Raginan") == Seq("kebun", "binatang", "ragunan"))
+      org.apache.spark.GraftListenerAccess.waitUntilEmpty(sc)
+    } finally sc.removeSparkListener(listener)
+    assert(jobs <= 2, s"expected at most 2 probe jobs against the store, saw $jobs")
+    // the probes prune at the scan, never stream the whole model table
+    val nbrPlan = served.spellNbr
+      .filter(col("del_key").isin("kebun", "ebun", "kbun"))
+      .queryExecution.executedPlan.toString
+    assert(nbrPlan.contains("In(del_key"), s"neighborhood probe not pushed down:\n$nbrPlan")
+    val lmPlan = served.lmKeyed
+      .filter(col("gram_key").isin("0,0,0,5", "5"))
+      .queryExecution.executedPlan.toString
+    assert(lmPlan.contains("In(gram_key"), s"LM probe not pushed down:\n$lmPlan")
+  }
+
   test("loading a missing store fails loudly") {
     val empty = java.nio.file.Files.createTempDirectory("graft-idx-missing").toString
     val e = intercept[RuntimeException] { SearchIndexStore.load(spark, empty) }

@@ -89,6 +89,34 @@ class SearcherSpec extends AnyFunSuite {
     assert(ac.exists(_.getString(0).contains("Monumen Nasional")))
   }
 
+  test("distributed mode: a WARM searcher runs only 2 probe jobs per correct() — " +
+    "no per-query corpus aggregation (model state persisted at first use)") {
+    val dist = new Searcher(docs, "doc_id", "name", "address",
+      spellErrorLines = Seq("dunia: duniu, dunai", "fantasi: fsntaso, fantasy",
+        "binatang: bibatqng", "ragunan: raginan"),
+      maxDriverVocab = 1L)
+    assert(dist.distributed)
+    // warm: first query builds + caches dict/neighborhood/count tables
+    assert(dist.correct("Duniu Fsntaso") == Seq("dunia", "fantasi"))
+    assert(dist.lmKeyed.storageLevel.useMemory, "count tables not persisted")
+    assert(dist.spellNbr.storageLevel.useMemory, "neighborhood not persisted")
+    val sc = spark.sparkContext
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    sc.addSparkListener(listener)
+    try {
+      // a DIFFERENT query, so nothing is driver-memoized
+      assert(dist.correct("Kebun Bibatqng Raginan") == Seq("kebun", "binatang", "ragunan"))
+      org.apache.spark.GraftListenerAccess.waitUntilEmpty(sc)
+    } finally sc.removeSparkListener(listener)
+    assert(jobs <= 2,
+      s"expected at most 2 probe jobs (neighborhood + LM), saw $jobs — " +
+        "a corpus-scale aggregation is running per query")
+  }
+
   test("distributed mode scores the UNK-thresholded LM identically (hapax -> <UNK>)") {
     val hapaxDocs = (1 to 29).map(i => (100L + i, s"h$i${i}word", ""))
     val oovDocs = (Seq(

@@ -63,6 +63,50 @@ class SpellJoinSpec extends AnyFunSuite {
       s"expected a del_key IN pushdown in:\n$plan")
   }
 
+  test("candidatesBatch: one probe returns per-token rows identical to candidates()") {
+    val nbr = SpellJoin.neighborhood(vocab)
+    val tokens = Seq("spqrk", "vektor", "windoe", "jakrata")
+    val batch = SpellJoin.candidatesBatch(nbr, tokens, 2)
+    tokens.foreach { t =>
+      val single = SpellJoin.candidates(nbr, t, 2).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(batch(t).map(c => (c.term, c.freq, c.dist)).toSet == single,
+        s"batch/single candidate mismatch for '$t'")
+    }
+  }
+
+  test("candidatesBatch runs exactly ONE Spark job for all tokens") {
+    val nbr = SpellJoin.neighborhood(vocab).cache()
+    SpellJoin.candidatesBatch(nbr, Seq("warm"), 2) // materialize the cache
+    val sc = spark.sparkContext
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    sc.addSparkListener(listener)
+    try {
+      SpellJoin.candidatesBatch(nbr, Seq("spqrk", "vektor", "windoe", "jakrata"), 2)
+      org.apache.spark.GraftListenerAccess.waitUntilEmpty(sc)
+    } finally sc.removeSparkListener(listener)
+    assert(jobs == 1, s"expected exactly 1 probe job, saw $jobs")
+    nbr.unpersist()
+  }
+
+  test("levenshteinBounded matches the unbounded distance with a -1 over-bound contract") {
+    val lev = org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+    val cases = Seq(
+      ("spark", "spqrk"), ("abc", "abc"), ("abc", "xyz"), ("ab", "abcd"),
+      ("kitten", "sitting"), ("a", ""), ("", ""), ("jakarta", "jakrata"),
+      ("ab", "ba"), ("abcdef", "az"))
+    for ((a, b) <- cases; bound <- 0 to 3) {
+      val d = lev.apply(a, b).intValue
+      val expected = if (d <= bound) d else -1
+      assert(SpellJoin.levenshteinBounded(a, b, bound) == expected,
+        s"levenshteinBounded($a, $b, $bound)")
+    }
+  }
+
   test("no driver-side vocabulary materialization on the join path") {
     // structural guarantee: candidates() builds a plan over the
     // neighborhood; the only collect is the candidate result itself. Verify
