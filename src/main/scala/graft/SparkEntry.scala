@@ -10,12 +10,14 @@ import graft.query.Spatial
 /**
  * Driver contract — one `queries` entry per implemented operator from
  * SURVEY.md §2 (operator IDs in the names), with a DuckDB oracle twin in
- * `oracleSql` for every deterministic op — including the approximate ones
- * (SimHash via a cross-engine md5-60-bit basis, LSH ANN / cosine pairs via
+ * `oracleSql` for EVERY query — including the approximate ops (SimHash via
+ * a cross-engine md5-60-bit basis, LSH ANN / cosine pairs via
  * integer-arithmetic hyperplanes reproduced in SQL, IVF via full-probe ≡
- * brute force). Only the image-binary ops (decode/PSNR/resize/features,
- * phash-derived tiles) are rows-only — DuckDB cannot decode PNG — and are
- * pixel-exactness-tested in ScalaTest instead.
+ * brute force) and the image-binary ops: lossless rows are value-exact
+ * (DuckDB re-derives the pixel matrix from doc_id), lossy rows are
+ * invariant-verdict-checked per row (PSNR >= 40 dB / bounded feature
+ * deviation), and tools/image_twin.py re-decodes BOTH formats with
+ * from-scratch non-JVM decoders to close the self-verification loop.
  */
 object SparkEntry {
 

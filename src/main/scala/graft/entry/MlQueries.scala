@@ -121,17 +121,35 @@ object MlQueries {
       Ann.ivfTopK(assigned, cents, q, k = 10, nprobe = 8)
     }),
 
-    // F18: distributed decode -> bilinear resize -> lossless re-encode over
-    // the binary column (rows-only: DuckDB cannot decode PNG; exactness is
-    // spec-tested in ImagesSpec against the re-derived pixel matrices)
+    // F18: distributed decode -> deterministic resize -> lossless re-encode
+    // over the binary column, VERIFIED row-by-row: the output png bytes are
+    // decoded back and compared against the resize of the re-derived source
+    // matrix — exact for png-origin rows (2x2 box average, DuckDB-derivable),
+    // bounded-deviation for jpeg-origin rows (measured max 6, bound 16; the
+    // raw jpeg bytes are additionally decoded by the independent Python
+    // baseline-JPEG decoder in tools/image_twin.py)
     "f18_image_resize" -> ((s, dir) =>
-      Images.resize(Images.imageTable(s, dir), 8, 8)
-        .select(col("image_id"), col("w"), col("h"), col("fmt"), length(col("bytes")).as("n_bytes"))
+      Images.resizeVerify(Images.resize(Images.imageTable(s, dir), 8, 8),
+          Images.W, Images.H, lossyTol = 16)
         .orderBy(col("image_id"))),
 
-    // F19: per-image feature extraction (channel means + aHash), rows-only
+    // F18b: the resize chain's exact VALUES on the lossless half — decode
+    // the resized png output and emit channel means ×10⁴ + the positional
+    // checksum of the matrix; DuckDB re-derives both through the 2x2 box
+    // average from doc_id (the resize arithmetic is integer-exact)
+    "f18b_resize_png" -> ((s, dir) =>
+      Images.resizedValues(Images.resize(
+          Images.imageTable(s, dir).filter(col("fmt") === "png"), 8, 8))
+        .orderBy(col("image_id"))),
+
+    // F19: per-image feature extraction over the MIXED table, verified
+    // row-by-row against the re-derived matrix: exact for png, bounded for
+    // jpeg (mean dev <= 3 gray levels, measured max 0.92; aHash hamming
+    // <= 24, measured max 12). The exact VALUES for the png half are
+    // oracled by f19b below.
     "f19_image_features" -> ((s, dir) =>
-      Images.features(Images.imageTable(s, dir)).orderBy(col("image_id"))),
+      Images.featuresVerify(Images.imageTable(s, dir), meanTol4 = 30000, hamTol = 24)
+        .orderBy(col("image_id"))),
 
     // X1: language ID heuristic
     "x1_langid" -> ((s, dir) =>
@@ -174,13 +192,19 @@ object MlQueries {
     "x8_redact" -> ((s, dir) =>
       TextStats.redact(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
 
-    // F17: image decode + PSNR per-row invariant (input_hint) — rows-only
-    // (the JPEG half's PSNR is codec-dependent; the PNG half is value-level
-    // oracled as f17b below, and tools/image_twin.py decodes the PNG bytes
-    // with an independent non-JVM decoder)
+    // F17: image decode + per-row invariant (input_hint: decoded pixels
+    // exact for png / PSNR >= 40 dB for jpeg, caption byte-equality) over
+    // the MIXED table. The verdict columns are value-level oracled (DuckDB
+    // derives the all-true expectation per row); the raw psnr4 VALUE is
+    // codec-dependent for jpeg and is oracled on the png half as f17b;
+    // the jpeg bytes are independently re-decoded by tools/image_twin.py's
+    // from-scratch baseline-JPEG decoder, closing the self-verification
+    // loop cross-implementation.
     "f17_image_verify" -> ((s, dir) => {
       val imgs = Images.imageTable(s, dir)
-      Images.decodeVerify(imgs, docs(s, dir)).orderBy(col("image_id"))
+      Images.decodeVerify(imgs, docs(s, dir))
+        .select(col("image_id"), col("fmt"), col("pixels_ok"), col("caption_ok"))
+        .orderBy(col("image_id"))
     }),
 
     // F17b: the lossless half of the decode-verify invariant, value-level
@@ -343,7 +367,16 @@ object MlQueries {
        |      ((tx >> CAST(b AS INTEGER)) & 1) * (CAST(1 AS BIGINT) << CAST(2*b AS INTEGER)) +
        |      ((ty >> CAST(b AS INTEGER)) & 1) * (CAST(1 AS BIGINT) << CAST(2*b + 1 AS INTEGER))
        |    ) AS BIGINT) AS m
-       |  FROM txy, (SELECT unnest(range(13)) AS b) GROUP BY id, p)""".stripMargin
+       |  FROM txy, (SELECT unnest(range(13)) AS b) GROUP BY id, p),
+       |rpx AS (SELECT id, x // 2 AS rx, y // 2 AS ry,
+       |    SUM(r) // 4 AS r, SUM(g) // 4 AS g, SUM(b) // 4 AS b
+       |  FROM px GROUP BY 1, 2, 3),
+       |rfeat AS (SELECT id,
+       |    CAST(SUM(r) * 10000 // 64 AS BIGINT) AS mean_r4,
+       |    CAST(SUM(g) * 10000 // 64 AS BIGINT) AS mean_g4,
+       |    CAST(SUM(b) * 10000 // 64 AS BIGINT) AS mean_b4,
+       |    CAST(SUM((ry*8 + rx + 1) * (r*65536 + g*256 + b)) AS BIGINT) AS chk
+       |  FROM rpx GROUP BY id)""".stripMargin
   }
 
   /** DuckDB twin of [[Audio.samples]] + [[Audio.features]]: 3 LCG draws →
@@ -408,6 +441,39 @@ object MlQueries {
          |  $signedPhashSql AS ahash
          |FROM mort JOIN feats f USING (id)
          |WHERE id % 2 = 0 ORDER BY image_id""".stripMargin,
+
+    // the per-row invariant VERDICTS over the mixed table: every row must
+    // decode, match (exact png / PSNR>=40 jpeg) and carry its caption —
+    // the engine computes the comparisons, DuckDB derives the expectation
+    "f17_image_verify" ->
+      s"""SELECT 'img_' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+         |  true AS pixels_ok, true AS caption_ok
+         |FROM documents ORDER BY image_id""".stripMargin,
+
+    // resize-chain verdicts: every row resizes to 8x8 png and matches the
+    // re-derived 2x2 box average (exact for png-origin, bounded for jpeg)
+    "f18_image_resize" ->
+      s"""SELECT 'img_' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt_in,
+         |  CAST(8 AS INTEGER) AS w, CAST(8 AS INTEGER) AS h,
+         |  true AS resized_ok
+         |FROM documents ORDER BY image_id""".stripMargin,
+
+    // feature verdicts over the mixed table (exact values for the png half
+    // are f19b's oracle)
+    "f19_image_features" ->
+      s"""SELECT 'img_' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+         |  true AS means_ok, true AS ahash_ok
+         |FROM documents ORDER BY image_id""".stripMargin,
+
+    // exact values of the 2x2 box resize on the lossless half, re-derived
+    // in SQL from doc_id (rpx/rfeat CTEs)
+    "f18b_resize_png" ->
+      s"""WITH $imagePixelCtes
+         |SELECT $imageIdSql AS image_id, mean_r4, mean_g4, mean_b4, chk
+         |FROM rfeat WHERE id % 2 = 0 ORDER BY image_id""".stripMargin,
 
     // the lossless invariant itself: exact decode (sentinel psnr4), pixel
     // and caption equality for every png row

@@ -205,19 +205,64 @@ object Images {
     checked.join(capOk, Seq("image_id"))
   }
 
-  /** Bilinear resize via Graphics2D (deterministic, JDK-only). */
-  def resizePx(px: Array[Int], w: Int, h: Int, outW: Int, outH: Int): Array[Int] = {
-    val src = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    src.setRGB(0, 0, w, h, px, 0, w)
-    val dst = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
-    val g = dst.createGraphics()
-    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-    g.drawImage(src, 0, 0, outW, outH, null)
-    g.dispose()
-    val out = new Array[Int](outW * outH)
-    dst.getRGB(0, 0, outW, outH, out, 0, outW)
-    out.map(_ & 0xffffff)
+  /**
+   * Deterministic resize in pure integer/fixed-point arithmetic — NOT
+   * Graphics2D, whose bilinear kernel is Java2D-implementation-defined and
+   * therefore neither JVM-portable nor derivable by an independent oracle:
+   *  - integer downscale factors -> BOX average with floor division (the
+   *    16x16 -> 8x8 chain is `sum(2x2 block) / 4` per channel, which DuckDB
+   *    re-derives exactly from doc_id — the f18 correctness gate);
+   *  - any other ratio -> half-pixel-center bilinear in 1/256 fixed point
+   *    (deterministic, no floating point).
+   */
+  def resizePx(px: Array[Int], w: Int, h: Int, outW: Int, outH: Int): Array[Int] =
+    if (w % outW == 0 && h % outH == 0) boxResize(px, w, h, outW, outH)
+    else bilinearResize(px, w, h, outW, outH)
+
+  private def boxResize(px: Array[Int], w: Int, h: Int, outW: Int, outH: Int): Array[Int] = {
+    val fx = w / outW; val fy = h / outH; val area = fx * fy
+    Array.tabulate(outW * outH) { i =>
+      val ox = i % outW; val oy = i / outW
+      var sr = 0; var sg = 0; var sb = 0
+      var dy = 0
+      while (dy < fy) {
+        var dx = 0
+        while (dx < fx) {
+          val p = px((oy * fy + dy) * w + ox * fx + dx)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          dx += 1
+        }
+        dy += 1
+      }
+      ((sr / area) << 16) | ((sg / area) << 8) | (sb / area)
+    }
+  }
+
+  private def bilinearResize(px: Array[Int], w: Int, h: Int,
+                             outW: Int, outH: Int): Array[Int] = {
+    // half-pixel-center mapping in 1/256 fixed point:
+    // src = (out + 0.5) * in/outDim - 0.5
+    @inline def axis(out: Int, outDim: Int, inDim: Int): (Int, Int, Int) = {
+      val fp = ((2 * out + 1) * inDim * 128) / outDim - 128 // 1/256 units
+      val f0 = math.max(0, math.min(inDim * 256 - 256, fp))
+      val i0 = f0 >> 8
+      val i1 = math.min(inDim - 1, i0 + 1)
+      (i0, i1, f0 & 0xff)
+    }
+    Array.tabulate(outW * outH) { i =>
+      val (x0, x1, wx) = axis(i % outW, outW, w)
+      val (y0, y1, wy) = axis(i / outW, outH, h)
+      @inline def ch(shift: Int): Int = {
+        val p00 = (px(y0 * w + x0) >> shift) & 0xff
+        val p01 = (px(y0 * w + x1) >> shift) & 0xff
+        val p10 = (px(y1 * w + x0) >> shift) & 0xff
+        val p11 = (px(y1 * w + x1) >> shift) & 0xff
+        val top = p00 * (256 - wx) + p01 * wx
+        val bot = p10 * (256 - wx) + p11 * wx
+        (top * (256 - wy) + bot * wy) >> 16
+      }
+      (ch(16) << 16) | (ch(8) << 8) | ch(0)
+    }
   }
 
   /**
@@ -260,6 +305,116 @@ object Images {
         val n = px.length
         Row(r.getString(0), sr * 10000 / n, sg * 10000 / n, sb * 10000 / n, phash(px))
       } // corrupt rows are skipped; decodeVerify is where they surface
+    })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
+   * Row-level verification of the decode → resize → re-encode chain over
+   * the RESIZED table: decode the output png bytes and compare with the
+   * resize of the re-derived source matrix — EXACT equality for rows whose
+   * source was lossless, max-abs-channel deviation <= `lossyTol` for lossy
+   * sources (the box average of PSNR>=40dB noise; measured max 6 at
+   * quality 0.95, bound 16). Output: (image_id, fmt_in, w, h, resized_ok) —
+   * every column exactly derivable by the DuckDB oracle (f18 gate).
+   * Corrupt rows REPORT resized_ok=false, never crash, never vanish.
+   */
+  def resizeVerify(resized: DataFrame, srcW: Int, srcH: Int,
+                   lossyTol: Int): DataFrame = {
+    val spark = resized.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("image_id", StringType, nullable = false),
+      StructField("fmt_in", StringType, nullable = false),
+      StructField("w", IntegerType, nullable = false),
+      StructField("h", IntegerType, nullable = false),
+      StructField("resized_ok", BooleanType, nullable = false)))
+    val rdd = resized.select("image_id", "bytes", "w", "h")
+      .rdd.mapPartitions(_.map { r =>
+        val idOpt = scala.util.Try(r.getString(0).stripPrefix("img_").toLong).toOption
+        val w = r.getAs[Int]("w"); val h = r.getAs[Int]("h")
+        val decOpt = tryDecode(r.getAs[Array[Byte]]("bytes"))
+        (idOpt, decOpt) match {
+          case (Some(id), Some(dec)) if dec.length == w * h =>
+            val fmtIn = if (id % 2 == 0) "png" else "jpeg"
+            val expected = resizePx(pixels(id), srcW, srcH, w, h)
+            val ok =
+              if (fmtIn == "png") dec.sameElements(expected)
+              else dec.zip(expected).forall { case (a, b) =>
+                (0 to 2).forall(c =>
+                  math.abs(((a >> (8 * c)) & 0xff) - ((b >> (8 * c)) & 0xff)) <= lossyTol)
+              }
+            Row(r.getString(0), fmtIn, w, h, ok)
+          case (Some(id), _) =>
+            Row(r.getString(0), if (id % 2 == 0) "png" else "jpeg", w, h, false)
+          case _ => Row(r.getString(0), "?", w, h, false)
+        }
+      })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
+   * Row-level verification of decode → feature extraction over the MIXED
+   * table: channel means (×10⁴) and the 8×8 aHash of the decoded pixels vs
+   * the matrix re-derived from the id — exact for png, bounded for jpeg
+   * (mean deviation <= `meanTol4` ×10⁻⁴ gray levels, measured max 9179,
+   * bound 30000; aHash hamming <= `hamTol`, measured max 12, bound 24 —
+   * near-mean cells legitimately flip under codec noise). Output:
+   * (image_id, fmt, means_ok, ahash_ok) — all DuckDB-derivable (f19 gate).
+   */
+  def featuresVerify(images: DataFrame, meanTol4: Long, hamTol: Int): DataFrame = {
+    val spark = images.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("image_id", StringType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("means_ok", BooleanType, nullable = false),
+      StructField("ahash_ok", BooleanType, nullable = false)))
+    val rdd = images.select("image_id", "bytes", "fmt")
+      .rdd.mapPartitions(_.map { r =>
+        val idOpt = scala.util.Try(r.getString(0).stripPrefix("img_").toLong).toOption
+        val decOpt = tryDecode(r.getAs[Array[Byte]]("bytes"))
+        (idOpt, decOpt) match {
+          case (Some(id), Some(dec)) if dec.length == W * H =>
+            val exp = pixels(id)
+            def means(px: Array[Int]): Seq[Long] = Seq(16, 8, 0).map(s =>
+              px.map(p => ((p >> s) & 0xff).toLong).sum * 10000 / px.length)
+            val exact = r.getString(2) == "png"
+            val meanDev = means(dec).zip(means(exp)).map { case (a, b) => math.abs(a - b) }.max
+            val ham = java.lang.Long.bitCount(phash(dec) ^ phash(exp))
+            Row(r.getString(0), r.getString(2),
+              if (exact) meanDev == 0 else meanDev <= meanTol4,
+              if (exact) ham == 0 else ham <= hamTol)
+          case _ => Row(r.getString(0), r.getString(2), false, false)
+        }
+      })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** EXACT values of the decoded RESIZED matrix (f18b gate, png-origin
+   *  rows): channel means ×10⁴ and the positional checksum
+   *  Σ (i+1)·(r·65536 + g·256 + b) — every value re-derivable in SQL from
+   *  doc_id through the 2×2 box average. Corrupt rows skip (the verify op
+   *  is where they surface). */
+  def resizedValues(resized: DataFrame): DataFrame = {
+    val spark = resized.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("image_id", StringType, nullable = false),
+      StructField("mean_r4", LongType, nullable = false),
+      StructField("mean_g4", LongType, nullable = false),
+      StructField("mean_b4", LongType, nullable = false),
+      StructField("chk", LongType, nullable = false)))
+    val rdd = resized.select("image_id", "bytes").rdd.mapPartitions(_.flatMap { r =>
+      tryDecode(r.getAs[Array[Byte]]("bytes")).map { px =>
+        var sr = 0L; var sg = 0L; var sb = 0L; var chk = 0L
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          chk += (i + 1).toLong * (p & 0xffffff)
+          i += 1
+        }
+        val n = px.length
+        Row(r.getString(0), sr * 10000 / n, sg * 10000 / n, sb * 10000 / n, chk)
+      }
     })
     spark.createDataFrame(rdd, outSchema)
   }

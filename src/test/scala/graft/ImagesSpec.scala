@@ -69,9 +69,40 @@ class ImagesSpec extends AnyFunSuite {
     val flat = Array.fill(16 * 16)(0x336699)
     val small = Images.resizePx(flat, 16, 16, 4, 4)
     assert(small.length == 16)
-    assert(small.forall(_ == 0x336699), "bilinear resize of a constant image changed colors")
+    assert(small.forall(_ == 0x336699), "box resize of a constant image changed colors")
     val px = Images.pixels(42L)
     assert(Images.resizePx(px, 16, 16, 8, 8).toSeq == Images.resizePx(px, 16, 16, 8, 8).toSeq)
+    // integer downscale = 2x2 box average with floor division (the
+    // SQL-derivable arithmetic the f18b oracle re-derives)
+    val half = Images.resizePx(px, 16, 16, 8, 8)
+    for (i <- half.indices) {
+      val ox = i % 8; val oy = i / 8
+      for (c <- 0 to 2) {
+        val exp = (0 until 4).map { j =>
+          (px((oy * 2 + j / 2) * 16 + ox * 2 + j % 2) >> (8 * c)) & 0xff
+        }.sum / 4
+        assert(((half(i) >> (8 * c)) & 0xff) == exp, s"box avg wrong at $i ch$c")
+      }
+    }
+    // non-integer ratio takes the fixed-point bilinear path, deterministic
+    // and constant-preserving too
+    val odd = Images.resizePx(flat, 16, 16, 5, 7)
+    assert(odd.length == 35 && odd.forall(_ == 0x336699))
+  }
+
+  test("resizeVerify / featuresVerify: ok rows everywhere, corrupt rows report false") {
+    import org.apache.spark.sql.Row
+    val good = Images.imageTable(spark, TestSpark.Sf).limit(6)
+    val rv = Images.resizeVerify(Images.resize(good, 8, 8), Images.W, Images.H, 16)
+    assert(rv.count() == 6 && rv.filter(!col("resized_ok")).count() == 0)
+    val fv = Images.featuresVerify(good, 30000, 24)
+    assert(fv.count() == 6 && fv.filter(!col("means_ok") || !col("ahash_ok")).count() == 0)
+    val corrupt = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("img_000000999998", Array[Byte](9, 9, 9), Images.W, Images.H,
+          "png", "broken", 0L)), 1), Images.schema)
+    val fvBad = Images.featuresVerify(corrupt, 30000, 24).collect()
+    assert(fvBad.length == 1 && !fvBad(0).getAs[Boolean]("means_ok"))
   }
 
   test("resize over the binary column: schema kept, png output decodes to the resized pixels") {
