@@ -78,8 +78,14 @@ object Curation {
    *  blocks are reclaimed by the ContextCleaner when the result is
    *  dropped. (In the staged [[run]] form, TableIO persistence plays this
    *  role instead.) */
-  def dedupStage(filteredIn: DataFrame): DataFrame = {
-    val filtered = filteredIn.localCheckpoint(eager = true)
+  def dedupStage(filteredIn: DataFrame, materializeInput: Boolean = true): DataFrame = {
+    // at-rest inputs (the staged run's bucketed tables) are already
+    // materialized AND carry hash(doc_id) bucketing that the final
+    // keep-representative join reuses — a localCheckpoint here would both
+    // recompute nothing and DESTROY the bucketing (the RDD barrier drops
+    // outputPartitioning), re-shuffling the corpus side of the join
+    val filtered =
+      if (materializeInput) filteredIn.localCheckpoint(eager = true) else filteredIn
     val sigs = Dedup.minhashSignatures(filtered, "doc_id", "redacted")
       .localCheckpoint(eager = true)
     val candidates = Dedup.minhashCandidates(sigs, maxBucket = Some(MaxBandBucket))
@@ -116,14 +122,29 @@ object Curation {
       redactStage(base).localCheckpoint(eager = true))))
   }
 
-  /** Checkpointed run: every stage persists with a lineage manifest; a
-   *  rerun over the same outDir resumes each completed stage (read-back,
-   *  not recompute) and returns identical rows. */
+  /** Buckets for the staged tables — every stage boundary is keyed by
+   *  doc_id, so the stages persist BUCKETED by it and the dedup stage's
+   *  keep-representative join re-uses the layout instead of re-shuffling
+   *  the corpus side (asserted in PipelineSpec). */
+  val NBuckets = 8
+
+  /** Checkpointed run: every stage persists with a lineage manifest as an
+   *  external table bucketed by doc_id; a rerun over the same outDir
+   *  resumes each completed stage (read-back, not recompute) and returns
+   *  identical rows. */
   def run(spark: SparkSession, docs: DataFrame, outDir: String): DataFrame = {
     import graft.pipeline.TableIO
-    val red = TableIO.stage(spark, outDir, "cur_redact") { redactStage(docs) }
-    val fil = TableIO.stage(spark, outDir, "cur_filter") { filterStage(red) }
-    val ded = TableIO.stage(spark, outDir, "cur_dedup") { dedupStage(fil) }
-    TableIO.stage(spark, outDir, "cur_sample") { sampleStage(ded) }
+    val red = TableIO.bucketedStage(spark, outDir, "cur_redact", "doc_id", NBuckets) {
+      redactStage(docs)
+    }
+    val fil = TableIO.bucketedStage(spark, outDir, "cur_filter", "doc_id", NBuckets) {
+      filterStage(red)
+    }
+    val ded = TableIO.bucketedStage(spark, outDir, "cur_dedup", "doc_id", NBuckets) {
+      dedupStage(fil, materializeInput = false)
+    }
+    TableIO.bucketedStage(spark, outDir, "cur_sample", "doc_id", NBuckets) {
+      sampleStage(ded)
+    }
   }
 }

@@ -30,12 +30,16 @@ object GeofenceStream {
                         fence_key: String, seq: Int, status: String)
   case class LastPos(lat: Double, lon: Double)
 
-  /** Transition rule, shared semantics with the batch operator. */
+  /** Transition rule, shared semantics with the batch operator. `grid`:
+   *  the cell index used past [[graft.query.Geofence.LiteralFenceMax]]
+   *  fences — same (dist, key)-ordered k-nearest, found by ring probes
+   *  instead of an O(|fences|) scan per point. */
   def transitions(prev: Option[LastPos], lat: Double, lon: Double,
-                  fences: Seq[Fence], nearestFences: Int = 3): Seq[(String, Int, String)] = {
-    val nearest = fences
-      .sortBy(f => (GeoMath.haversineKm(lat, lon, f.lat, f.lon), f.key))
-      .take(nearestFences)
+                  fences: Seq[Fence], nearestFences: Int = 3,
+                  grid: Option[graft.query.Geofence.FenceGrid] = None): Seq[(String, Int, String)] = {
+    val nearest = grid.map(_.nearest(lat, lon, nearestFences)).getOrElse(
+      fences.sortBy(f => (GeoMath.haversineKm(lat, lon, f.lat, f.lon), f.key))
+        .take(nearestFences))
     // missing previous position = sentinel (-999, -999), exactly like the
     // reference (fence_index.go:61-64) — note the sentinel also flows into
     // the CROSS intersection test (geofence.go:108-113), reproduced as-is
@@ -61,6 +65,15 @@ object GeofenceStream {
   def statusStream(points: Dataset[TrackPoint], fences: Seq[Fence]): Dataset[FenceEvent] = {
     val spark = points.sparkSession
     import spark.implicits._
+    // fence sets past the literal cap get the cell-grid index (the batch
+    // operator's ring-join twin): per-point cost becomes ring probes, not
+    // an O(|fences|) scan. Shipped to tasks as a broadcast, not a closure
+    // capture — one copy per executor however many tasks run.
+    val gridB = spark.sparkContext.broadcast(
+      if (fences.size > graft.query.Geofence.LiteralFenceMax)
+        Some(graft.query.Geofence.FenceGrid.build(fences))
+      else None)
+    val fencesB = spark.sparkContext.broadcast(fences)
     points.groupByKey(_.user_id)
       .flatMapGroupsWithState[LastPos, FenceEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -68,7 +81,8 @@ object GeofenceStream {
           val sorted = rows.toSeq.sortBy(p => (p.ts.getTime, p.event_id))
           var prev = state.getOption
           val out = sorted.flatMap { p =>
-            val evs = transitions(prev, p.lat, p.lon, fences).map {
+            val evs = transitions(prev, p.lat, p.lon, fencesB.value,
+              grid = gridB.value).map {
               case (k, seq, st) => FenceEvent(p.event_id, p.user_id, p.ts, k, seq, st)
             }
             prev = Some(LastPos(p.lat, p.lon))

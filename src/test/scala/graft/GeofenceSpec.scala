@@ -125,6 +125,39 @@ class GeofenceSpec extends AnyFunSuite {
     assert(perEvent.values.forall(_ == 3), s"expected 3 nearest fences per point: $perEvent")
   }
 
+  test("FenceGrid: ring-probe k-nearest == full-scan k-nearest over 10k fences") {
+    val fences = (0 until 10000).map(i =>
+      Fence(f"k$i%05d", -8.5 + (i % 100) * 0.02, 105.5 + (i / 100) * 0.05, 5.0))
+    val grid = Geofence.FenceGrid.build(fences)
+    val points = (0 until 50).map(i => (-8.6 + i * 0.045, 105.3 + i * 0.11)) ++
+      Seq((-20.0, 150.0), (-8.5, 105.5)) // far outside + exactly on a center
+    for ((lat, lon) <- points; k <- Seq(1, 3, 7)) {
+      val brute = fences
+        .sortBy(f => (graft.core.GeoMath.haversineKm(lat, lon, f.lat, f.lon), f.key))
+        .take(k).map(_.key)
+      assert(grid.nearest(lat, lon, k).map(_.key) == brute,
+        s"grid k-nearest diverged at ($lat,$lon) k=$k")
+    }
+  }
+
+  test("streaming geofence at 10k fences (cell-grid path) == batch ring join") {
+    val fences = (0 until 10000).map(i =>
+      Fence(f"k$i%05d", -8.5 + (i % 100) * 0.02, 105.5 + (i / 100) * 0.05, 5.0))
+    assert(fences.size > Geofence.LiteralFenceMax)
+    val track = (0 until 24).map { i =>
+      (i.toLong, (i % 4).toLong, ts(i), -8.4 + (i % 7) * 0.15, 105.6 + (i % 5) * 0.9)
+    }.toDF("event_id", "user_id", "ts", "lat", "lon")
+    val batch = Geofence.fenceStatus(track, fences) // dispatches to the ring join
+      .select("event_id", "fence_key", "seq", "status").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    val stream = GeofenceStream.runBatchAsStream(spark, track, fences,
+        queryName = "geofence_stream_10k")
+      .select("event_id", "fence_key", "seq", "status").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    assert(batch.nonEmpty && stream == batch,
+      s"stream/batch diverged: ${stream.diff(batch).take(3)} vs ${batch.diff(stream).take(3)}")
+  }
+
   test("FenceStore: persisted named collections with MERGE upsert (fence_index.go:21-48,88-96)") {
     val dir = java.nio.file.Files.createTempDirectory("fence-store").toString
     val store = new Geofence.FenceStore(spark, dir)

@@ -65,5 +65,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(nFilter < nRedact, "quality/repetition gate must drop rows")
     assert(nDedup <= nFilter)
     assert(nSample < nDedup, "sampling must drop rows")
+
+    // the staged tables are BUCKETED by doc_id: doc_id-keyed plans over the
+    // resume path reuse the layout instead of shuffling the corpus side
+    val fil = TableIO.bucketedStage(spark, out, "cur_filter", "doc_id",
+      graft.ml.Curation.NBuckets) { sys.error("cur_filter must be complete") }
+    val aggPlan = fil.groupBy("doc_id").count().queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange"),
+      s"doc_id aggregation over the bucketed stage shuffles:\n$aggPlan")
+    import org.apache.spark.sql.functions.col
+    val keepIds = fil.select(col("doc_id")).limit(5)
+    val joinPlan = fil.join(keepIds, Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    // at most one hash exchange (the keep-id side); the bucketed corpus
+    // side must join in place
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(joinPlan).size <= 1,
+      s"bucketed corpus side re-shuffled in the doc_id join:\n$joinPlan")
   }
 }
