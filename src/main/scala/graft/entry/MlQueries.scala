@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ml.{Ann, Dedup, Sampling, TextStats}
 import graft.sources.Derived
-import graft.images.{Audio, Images}
+import graft.images.{Audio, Images, Video}
 
 /**
  * Training-data pipeline queries (dedup / similarity search / text
@@ -245,7 +245,34 @@ object MlQueries {
     // Morton cell from doc_id in pure SQL (imagePixelCtes)
     "g2_image_tiles" -> ((s, dir) =>
       Images.withGeo(Images.imageTable(s, dir))
-        .select(col("image_id"), col("phash"), col("cell")).orderBy(col("image_id")))
+        .select(col("image_id"), col("phash"), col("cell")).orderBy(col("image_id"))),
+
+    // F22: the video payload — synthesize RIFF/AVI clips (MPNG/MJPG
+    // frames), DECODE the containers partition-parallel, verify the
+    // input_hint invariant lifted to clips: every frame exact (mpng) /
+    // PSNR >= 40 dB (mjpg), container metadata equality, caption equality.
+    // The verdict columns AND n_frames are value-level oracled; the mjpg
+    // bytes are independently re-decoded by tools/video_twin.py's Python
+    // AVI walker + from-scratch baseline-JPEG decoder.
+    "f22_video_verify" -> ((s, dir) =>
+      Video.decodeVerify(Video.videoTable(s, dir), docs(s, dir))
+        .orderBy(col("video_id"))),
+
+    // F22b: frame-sampling (every 3rd frame) + per-frame features over the
+    // DECODED pixels, exact VALUES on the lossless half — DuckDB re-derives
+    // each sampled frame's channel means from the frame seed vid*64+k
+    "f22b_frames_png" -> ((s, dir) =>
+      Video.frameFeatures(
+          Video.videoTable(s, dir).filter(col("fmt") === "avi-mpng"))
+        .orderBy(col("video_id"), col("frame_idx"))),
+
+    // F23: per-clip motion proxy over consecutive sampled frames (static-
+    // clip filtering) — integer-exact on the lossless half, value-oracled
+    // end to end through container decode -> frame decode -> gray means
+    "f23_video_motion" -> ((s, dir) =>
+      Video.motion(
+          Video.videoTable(s, dir).filter(col("fmt") === "avi-mpng"))
+        .orderBy(col("video_id")))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -322,7 +349,14 @@ object MlQueries {
    *   mort(id, p, m)                        — Morton interleave of tile x/y
    * Validated cell-for-cell against the engine (g2/f19b correctness gate).
    */
-  private def imagePixelCtes: String = {
+  private def imagePixelCtes: String =
+    pixelCtes("ids AS (SELECT doc_id AS id FROM documents)")
+
+  /** Same CTE chain over an arbitrary seed set: `idsCte` must define a CTE
+   *  named `ids` with a column `id` (one row per pixel matrix to derive —
+   *  doc ids for the image table, [[Video.frameSeed]] values for video
+   *  frames). */
+  private def pixelCtes(idsCte: String): String = {
     val M = "6364136223846793005"; val C = "1442695040888963407"
     val T64 = "18446744073709551616"
     val lcg = (1 to 9).map { k =>
@@ -330,7 +364,7 @@ object MlQueries {
       s"lcg$k AS (SELECT id, (s * $M + $C) % $T64 AS s, " +
         s"CAST(((s * $M + $C) % $T64) // 1099511627776 % 256 AS BIGINT) AS v FROM $prev)"
     }.mkString(",\n")
-    s"""ids AS (SELECT doc_id AS id FROM documents),
+    s"""$idsCte,
        |lcg0 AS (SELECT id, ((CAST(id AS HUGEINT) * $M + $C) % $T64 + $T64) % $T64 AS s FROM ids),
        |$lcg,
        |params AS (SELECT lcg1.id, lcg1.v AS r0, lcg2.v AS g0, lcg3.v AS b0,
@@ -414,6 +448,16 @@ object MlQueries {
        |  GROUP BY a.id)""".stripMargin
   }
 
+  /** Seed-set CTE for the video-frame oracles: one `id` per SAMPLED frame
+   *  of every lossless (even-id) clip — id = vid*[[Video.MaxFrames]]+k for
+   *  k < numFrames(vid), k % EveryN == 0. Spliced into [[pixelCtes]]. */
+  private def videoFrameIdsCte: String =
+    s"""vids AS (SELECT doc_id AS vid, 6 + doc_id % 5 AS nf
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |ids AS (SELECT vid * ${Video.MaxFrames} + k AS id
+       |  FROM vids, (SELECT unnest(range(10)) AS k)
+       |  WHERE k < nf AND k % ${Video.EveryN} = 0)""".stripMargin
+
   /** 'img_%012d' — the image_id format of [[Images.imageTable]]. */
   private val imageIdSql = "'img_' || lpad(CAST(id AS VARCHAR), 12, '0')"
   /** unsigned HUGEINT phash `p` → the signed 64-bit value Spark stores. */
@@ -482,6 +526,39 @@ object MlQueries {
          |  'png' AS fmt, CAST(9999999 AS BIGINT) AS psnr4,
          |  true AS pixels_ok, true AS caption_ok
          |FROM documents WHERE doc_id % 2 = 0 ORDER BY image_id""".stripMargin,
+    // clip verdicts over the mixed table: every clip must decode, carry
+    // the derived frame count, match per-frame (exact mpng / PSNR>=40
+    // mjpg) and carry its caption — engine computes, DuckDB derives
+    "f22_video_verify" ->
+      s"""SELECT 'vid_' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS video_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'avi-mpng' ELSE 'avi-mjpg' END AS fmt,
+         |  CAST(6 + doc_id % 5 AS INTEGER) AS n_frames,
+         |  true AS frames_ok, true AS meta_ok, true AS caption_ok
+         |FROM documents ORDER BY video_id""".stripMargin,
+
+    // exact per-sampled-frame channel means on the lossless half: the
+    // pixel chain re-derived from the frame seed vid*MaxFrames+k
+    "f22b_frames_png" ->
+      s"""WITH ${pixelCtes(videoFrameIdsCte)}
+         |SELECT 'vid_' || lpad(CAST(id // ${Video.MaxFrames} AS VARCHAR), 12, '0') AS video_id,
+         |  CAST(id % ${Video.MaxFrames} AS INTEGER) AS frame_idx,
+         |  mean_r4, mean_g4, mean_b4
+         |FROM feats ORDER BY video_id, frame_idx""".stripMargin,
+
+    // per-clip motion: gray mean per sampled frame (SUM(gv)//256, the
+    // engine's floor arithmetic), lag-diff over the sample order
+    "f23_video_motion" ->
+      s"""WITH ${pixelCtes(videoFrameIdsCte)},
+         |gmean AS (SELECT id, SUM(gv) // 256 AS mg FROM gray GROUP BY id),
+         |seq AS (SELECT id // ${Video.MaxFrames} AS vid, mg,
+         |    lag(mg) OVER (PARTITION BY id // ${Video.MaxFrames}
+         |                  ORDER BY id % ${Video.MaxFrames}) AS pmg
+         |  FROM gmean)
+         |SELECT 'vid_' || lpad(CAST(vid AS VARCHAR), 12, '0') AS video_id,
+         |  CAST(COUNT(*) AS INTEGER) AS n_sampled,
+         |  CAST(COALESCE(SUM(abs(mg - pmg)), 0) AS BIGINT) AS motion
+         |FROM seq GROUP BY vid ORDER BY video_id""".stripMargin,
+
     "d1_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
