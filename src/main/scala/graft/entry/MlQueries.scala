@@ -74,6 +74,22 @@ object MlQueries {
       Dedup.dupClusters(d, "doc_id", pairs).orderBy(col("doc_id"))
     }),
 
+    // D7: thumbnail → catalog reverse lookup (perceptual image dedup).
+    // Both sides are fingerprinted map-side with the SAME function (aHash
+    // of the 2×2-box 8×8 matrix — bytes never shuffle), candidates come
+    // from the 4×16-bit band equi-join (recall-EXACT for hamming <= 3 by
+    // pigeonhole), then a pixel-level refine kills fingerprint collisions.
+    // Foreign thumbnails (no catalog source) probe precision. Oracled
+    // value-for-value on the lossless half: DuckDB re-derives fingerprints
+    // AND the pixel-equality refine from the seeds alone. The mixed-codec
+    // run and the maxBucket production cap are ThumbMatchSpec territory.
+    "d7_thumb_match" -> ((s, dir) =>
+      Images.thumbMatch(
+          Images.imageTable(s, dir).filter(col("fmt") === "png"),
+          Images.thumbTable(s, dir).filter(col("fmt") === "png"),
+          hamMax = 3, maxBucket = None, lossyTol = 0)
+        .orderBy(col("thumb_id"), col("image_id"))),
+
     // E1: exact brute-force cosine top-k vs the vec_id=1 embedding
     "e1_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -464,7 +480,42 @@ object MlQueries {
   private val signedPhashSql =
     "CAST(CASE WHEN p >= 9223372036854775808 THEN p - 18446744073709551616 ELSE p END AS BIGINT)"
 
+  /** Seed set for the d7 oracle: the lossless catalog (even doc ids) plus
+   *  the foreign-thumbnail seeds (even, doc_id % 7 == 3, offset by
+   *  [[Images.ForeignSeedOffset]]). Spliced into [[pixelCtes]]; the
+   *  derived-thumbnail seeds are a subset of the catalog ids. */
+  private def thumbIdsCte: String =
+    s"""ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_id + ${Images.ForeignSeedOffset} AS id FROM documents
+       |  WHERE doc_id % 2 = 0 AND doc_id % 7 = 3)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d7_thumb_match" ->
+      s"""WITH ${pixelCtes(thumbIdsCte)},
+         |rgray AS (SELECT id, ry * 8 + rx AS idx,
+         |    (r * 299 + g * 587 + b * 114) // 1000 AS gv FROM rpx),
+         |rmean AS (SELECT id, SUM(gv) // 64 AS m FROM rgray GROUP BY id),
+         |rph AS (SELECT g.id, SUM(CASE WHEN g.gv > rm.m
+         |    THEN CAST(1 AS HUGEINT) << CAST(g.idx AS INTEGER) ELSE 0 END) AS p
+         |  FROM rgray g JOIN rmean rm ON g.id = rm.id GROUP BY g.id),
+         |rfp AS (SELECT id, $signedPhashSql AS fp FROM rph),
+         |cat AS (SELECT id, fp FROM rfp WHERE id < ${Images.ForeignSeedOffset}),
+         |th AS (SELECT id, fp FROM rfp
+         |  WHERE id >= ${Images.ForeignSeedOffset} OR id % 3 != 2),
+         |cand AS (SELECT t.id AS tid, c.id AS cid,
+         |    CAST(bit_count(xor(t.fp, c.fp)) AS INTEGER) AS hamming
+         |  FROM th t, cat c WHERE bit_count(xor(t.fp, c.fp)) <= 3),
+         |okp AS (SELECT cand.tid, cand.cid, cand.hamming FROM cand
+         |  JOIN rpx pt ON pt.id = cand.tid
+         |  JOIN rpx pc ON pc.id = cand.cid AND pc.rx = pt.rx AND pc.ry = pt.ry
+         |  GROUP BY 1, 2, 3
+         |  HAVING MAX(greatest(abs(pt.r - pc.r), abs(pt.g - pc.g),
+         |    abs(pt.b - pc.b))) = 0)
+         |SELECT 'th_' || lpad(CAST(tid AS VARCHAR), 12, '0') AS thumb_id,
+         |  'img_' || lpad(CAST(cid AS VARCHAR), 12, '0') AS image_id, hamming
+         |FROM okp ORDER BY thumb_id, image_id""".stripMargin,
+
     "g2_image_tiles" ->
       s"""WITH $imagePixelCtes
          |SELECT $imageIdSql AS image_id, $signedPhashSql AS phash,

@@ -4,7 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -52,6 +52,21 @@ object Images {
       val g = clamp(g0 + gx * x + gy * y)
       val b = clamp(b0 + bx * x + by * y)
       (r << 16) | (g << 8) | b
+    }
+  }
+
+  /** 64-bit average-hash of a 64-pixel (8×8) matrix: bit i = gray_i >
+   *  mean(gray) — the thumbnail form of [[phash]], whose 2×2 cell means
+   *  reduce to exactly these pixels when the input is already 8×8. */
+  def ahash8(px: Array[Int]): Long = {
+    require(px.length == 64, s"ahash8 wants 64 pixels, got ${px.length}")
+    val gray = px.map { p =>
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      (r * 299 + g * 587 + b * 114) / 1000
+    }
+    val mean = gray.sum / 64
+    gray.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      if (v > mean) acc | (1L << i) else acc
     }
   }
 
@@ -417,6 +432,139 @@ object Images {
       }
     })
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  // ---- d7: thumbnail → catalog reverse lookup ----------------------------
+
+  /** Seed offset for "foreign" thumbnails (no catalog source): keeps the
+   *  foreign pixel domain disjoint from doc ids and video frame seeds at
+   *  every scale factor, while preserving parity (the offset is even, so
+   *  fmt-by-seed-parity matches the source document's). */
+  val ForeignSeedOffset = 5000000000L
+
+  val thumbSchema: StructType = StructType(Seq(
+    StructField("thumb_id", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("w", IntegerType, nullable = false),
+    StructField("h", IntegerType, nullable = false),
+    StructField("fmt", StringType, nullable = false)))
+
+  /** The 8×8 thumbnail pile for the reverse-lookup operator: docs with
+   *  doc_id % 3 != 2 contribute a true thumbnail of image doc_id (2×2 box
+   *  average of its pixels, re-encoded with the source's codec), and docs
+   *  with doc_id % 7 == 3 additionally contribute a FOREIGN thumbnail
+   *  (seed doc_id + [[ForeignSeedOffset]]) that matches nothing — the
+   *  precision probe. thumb_id carries the seed ('th_%012d'), so the
+   *  oracle can re-derive the expected match set. */
+  def thumbTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+    val rdd = docs.rdd.mapPartitions(_.flatMap { r =>
+      val id = r.getLong(0)
+      def mk(seed: Long): Row = {
+        val fmt = if (seed % 2 == 0) "png" else "jpeg"
+        val px = resizePx(pixels(seed), W, H, 8, 8)
+        Row(f"th_$seed%012d", encodeWH(px, 8, 8, fmt), 8, 8, fmt)
+      }
+      (if (id % 3 != 2) Seq(mk(id)) else Nil) ++
+        (if (id % 7 == 3) Seq(mk(id + ForeignSeedOffset)) else Nil)
+    })
+    spark.createDataFrame(rdd, thumbSchema)
+  }
+
+  private def fpSchema(idName: String) = StructType(Seq(
+    StructField(idName, StringType, nullable = false),
+    StructField("fp", LongType, nullable = false),
+    StructField("px", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("lossless", BooleanType, nullable = false)))
+
+  /** Map-side fingerprint extraction — decode the binary column inside the
+   *  partition and emit only (id, 64-bit aHash of the 8×8 matrix, the 64
+   *  packed pixels, lossless?). `bytes` never reaches a shuffle: what the
+   *  band join moves is ≤ ~300 B/row. Catalog rows (any size) are box-
+   *  resized to 8×8 first, so both sides hash THE SAME function of the
+   *  same matrix — lossless rows collide exactly, lossy rows within codec
+   *  noise. Corrupt rows skip (decodeVerify is where they surface). */
+  def thumbFingerprints(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol), col("bytes"), col("w"), col("h"), col("fmt"))
+      .rdd.mapPartitions(_.flatMap { r =>
+        tryDecode(r.getAs[Array[Byte]]("bytes")).collect {
+          case dec if dec.length == r.getAs[Int]("w") * r.getAs[Int]("h") =>
+            val px8 =
+              if (r.getAs[Int]("w") == 8 && r.getAs[Int]("h") == 8) dec
+              else resizePx(dec, r.getAs[Int]("w"), r.getAs[Int]("h"), 8, 8)
+            Row(r.getString(0), ahash8(px8), px8.toSeq, r.getAs[String]("fmt") == "png")
+        }
+      })
+    spark.createDataFrame(rdd, fpSchema(idCol))
+  }
+
+  /** Max abs per-channel deviation between two packed-RGB pixel arrays. */
+  private def maxChanDev(a: Column, b: Column): Column =
+    array_max(zip_with(a, b, (x, y) => greatest(
+      abs(shiftright(x, 16).bitwiseAND(lit(255)) - shiftright(y, 16).bitwiseAND(lit(255))),
+      abs(shiftright(x, 8).bitwiseAND(lit(255)) - shiftright(y, 8).bitwiseAND(lit(255))),
+      abs(x.bitwiseAND(lit(255)) - y.bitwiseAND(lit(255))))))
+
+  /**
+   * Reverse image lookup: match each thumbnail to the catalog images it is
+   * a resized copy of. Semantics: fingerprint hamming <= `hamMax` AND
+   * pixel verification (EXACT 8×8 equality when both rows are lossless,
+   * max abs channel deviation <= `lossyTol` otherwise).
+   *
+   * Candidate generation is an equi-join, never a cross product:
+   *  - hamMax = 0 → join directly on the 64-bit fingerprint;
+   *  - hamMax in [1,3] → 4×16-bit band join: any pair within hamming 3
+   *    shares at least one intact band (pigeonhole), so recall over the
+   *    semantic is EXACT (Manku/Jain/Das Sarma, WWW'07).
+   *
+   * `maxBucket`: drop (band, key) buckets holding more than this many rows
+   * across both sides — the d3-style discriminativeness cap. Low-entropy
+   * fingerprints (flat images) otherwise make candidate volume quadratic;
+   * with the cap it is <= 4 * maxBucket * |thumbs|, i.e. LINEAR at any
+   * corpus size. None = exact semantics (the oracled configuration).
+   */
+  def thumbMatch(catalog: DataFrame, thumbs: DataFrame, hamMax: Int,
+                 maxBucket: Option[Int], lossyTol: Int): DataFrame = {
+    require(hamMax >= 0 && hamMax <= 3, s"4x16 banding covers hamming <= 3, got $hamMax")
+    val cats = thumbFingerprints(
+      catalog.withColumnRenamed("image_id", "cat_id"), "cat_id")
+    val ths = thumbFingerprints(thumbs, "thumb_id")
+
+    def banded(df: DataFrame, idCol: String): DataFrame = {
+      val keys =
+        if (hamMax == 0) array(col("fp"))
+        else array((0 until 4).map(b =>
+          shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)
+      df.select(col(idCol), col("fp"), col("px"), col("lossless"),
+        posexplode(keys).as(Seq("band", "band_key")))
+    }
+    val catB = banded(cats, "cat_id")
+    val thB = banded(ths, "thumb_id")
+    val admitted = maxBucket match {
+      case None => catB
+      case Some(cap) =>
+        val ok = catB.select(col("band"), col("band_key"))
+          .unionAll(thB.select(col("band"), col("band_key")))
+          .groupBy(col("band"), col("band_key")).count()
+          .filter(col("count") <= cap)
+          .select(col("band"), col("band_key"))
+        catB.join(ok, Seq("band", "band_key"))
+          .select(col("cat_id"), col("fp"), col("px"), col("lossless"),
+            col("band"), col("band_key"))
+    }
+    val t = thB.select(col("thumb_id"), col("fp").as("t_fp"), col("px").as("t_px"),
+      col("lossless").as("t_ll"), col("band"), col("band_key"))
+    val c = admitted.select(col("cat_id"), col("fp").as("c_fp"), col("px").as("c_px"),
+      col("lossless").as("c_ll"), col("band"), col("band_key"))
+    val ham = bit_count(col("t_fp").bitwiseXOR(col("c_fp"))).cast("int")
+    t.join(c, Seq("band", "band_key"))
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= hamMax &&
+        when(col("t_ll") && col("c_ll"), col("t_px") === col("c_px"))
+          .otherwise(maxChanDev(col("t_px"), col("c_px")) <= lossyTol))
+      .select(col("thumb_id"), col("cat_id").as("image_id"), col("hamming"))
+      .distinct()
   }
 
   /** Spatial position derived from phash (FIXTURES.md §1): hi 32 bits ->
