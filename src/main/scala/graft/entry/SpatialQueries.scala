@@ -63,6 +63,33 @@ object SpatialQueries {
           q4(GeoFunctions.haversineKm(lit(QLat), lit(QLon), col("lat"), col("lon"))).as("dist4"))
         .orderBy(col("id"))),
 
+    // F3: destination point — per-row bearing/distance derived from id so
+    // the whole great-circle formula (asin/atan2/wrap) runs per row; both
+    // engines evaluate the identical arithmetic, quantized to 1e-4 deg.
+    // The +0.5 keeps bearings off the compass axes: bearing exactly 0
+    // makes dlon == lon, whose exact-5-decimal synthesis lands PRECISELY
+    // on the x.xxxx5 rounding boundary (measured margin 0 at sf0.1).
+    // Off-axis, the margin is >= 1.7e-6 in 1e-4-deg units at sf0.1 —
+    // three orders above cross-engine trig noise (~2e-9).
+    "f3_destination" -> ((s, dir) => {
+      val bearing = (col("id") * 37 % 360).cast("double") + lit(0.5)
+      val dist = (col("id") % 50 + 1).cast("double")
+      val (dlat, dlon) = GeoFunctions.destinationPoint(
+        col("lat"), col("lon"), bearing, dist)
+      objects(s, dir).filter(col("id") % 13 === 0)
+        .select(col("id"), q4(dlat).as("dlat4"), q4(dlon).as("dlon4"))
+        .orderBy(col("id"))
+    }),
+
+    // F4: spherical midpoint vs the fixed query point
+    "f4_midpoint" -> ((s, dir) => {
+      val (mlat, mlon) = GeoFunctions.midPoint(
+        lit(QLat), lit(QLon), col("lat"), col("lon"))
+      objects(s, dir).filter(col("id") % 13 === 0)
+        .select(col("id"), q4(mlat).as("mlat4"), q4(mlon).as("mlon4"))
+        .orderBy(col("id"))
+    }),
+
     // G1: tile assignment — the north-rule core; emits the cell's (x, y)
     // grid coordinates so the oracle can recompute them arithmetically
     "g1_tile_assign" -> ((s, dir) =>
@@ -253,6 +280,22 @@ object SpatialQueries {
       s"""WITH ${Derived.objectsSqlCte}
          |SELECT id, ${q4Sql(distQ)} AS dist4 FROM objects
          |WHERE id % 13 = 0 ORDER BY id""".stripMargin,
+
+    "f3_destination" -> {
+      val (dlat, dlon) = GeoFunctions.destinationSql(
+        "lat", "lon", "(CAST(id * 37 % 360 AS DOUBLE) + 0.5)", "CAST(id % 50 + 1 AS DOUBLE)")
+      s"""WITH ${Derived.objectsSqlCte}
+         |SELECT id, ${q4Sql(dlat)} AS dlat4, ${q4Sql(dlon)} AS dlon4
+         |FROM objects WHERE id % 13 = 0 ORDER BY id""".stripMargin
+    },
+
+    "f4_midpoint" -> {
+      val (mlat, mlon) = GeoFunctions.midPointSql(
+        QLat.toString, QLon.toString, "lat", "lon")
+      s"""WITH ${Derived.objectsSqlCte}
+         |SELECT id, ${q4Sql(mlat)} AS mlat4, ${q4Sql(mlon)} AS mlon4
+         |FROM objects WHERE id % 13 = 0 ORDER BY id""".stripMargin
+    },
 
     "g1_tile_assign" -> {
       val n = 1L << Cells.DefaultLevel

@@ -171,6 +171,59 @@ object GeoFunctions {
     lit(2.0 * GeoMath.EarthRadiusKm) * asin(sqrt(a))
   }
 
+  /** Destination point along a great circle (reference geometry.go:131-155)
+   *  as pure built-in column expressions — codegen-friendly, no UDF.
+   *  Returns (lat, lon) in degrees; longitude wrapped to [-180, 180). */
+  def destinationPoint(lat: Column, lon: Column, bearingDeg: Column,
+                       distKm: Column): (Column, Column) = {
+    val dr = distKm / GeoMath.EarthRadiusKm
+    val br = radians(bearingDeg)
+    val la1 = radians(lat); val lo1 = radians(lon)
+    val la2 = asin(sin(la1) * cos(dr) + cos(la1) * sin(dr) * cos(br))
+    val lo2 = lo1 + atan2(sin(br) * sin(dr) * cos(la1),
+      cos(dr) - sin(la1) * sin(la2))
+    val wrapped = (lo2 + lit(3 * math.Pi)) % lit(2 * math.Pi) - lit(math.Pi)
+    (degrees(la2), degrees(wrapped))
+  }
+
+  /** SQL twin of [[destinationPoint]] (same arithmetic; fmod = Java % for
+   *  the always-positive dividend). Returns (latSql, lonSql). */
+  def destinationSql(lat: String, lon: String, bearingDeg: String,
+                     distKm: String): (String, String) = {
+    val dr = s"(($distKm) / 6371.0)"
+    val br = s"radians($bearingDeg)"
+    val la1 = s"radians($lat)"; val lo1 = s"radians($lon)"
+    val la2 = s"asin(sin($la1) * cos($dr) + cos($la1) * sin($dr) * cos($br))"
+    val lo2 = s"($lo1 + atan2(sin($br) * sin($dr) * cos($la1), " +
+      s"cos($dr) - sin($la1) * sin($la2)))"
+    (s"degrees($la2)", s"degrees(fmod($lo2 + 3 * pi(), 2 * pi()) - pi())")
+  }
+
+  /** Spherical midpoint (reference geometry.go:67-80) as built-in column
+   *  expressions. Returns (lat, lon) in degrees. */
+  def midPoint(lat1: Column, lon1: Column, lat2: Column,
+               lon2: Column): (Column, Column) = {
+    val p1 = radians(lat1); val p2 = radians(lat2)
+    val dLon = radians(lon2 - lon1)
+    val bx = cos(p2) * cos(dLon); val by = cos(p2) * sin(dLon)
+    val nlat = atan2(sin(p1) + sin(p2),
+      sqrt((cos(p1) + bx) * (cos(p1) + bx) + by * by))
+    val nlon = radians(lon1) + atan2(by, cos(p1) + bx)
+    (degrees(nlat), degrees(nlon))
+  }
+
+  /** SQL twin of [[midPoint]]. Returns (latSql, lonSql). */
+  def midPointSql(lat1: String, lon1: String, lat2: String,
+                  lon2: String): (String, String) = {
+    val p1 = s"radians($lat1)"; val p2 = s"radians($lat2)"
+    val dLon = s"radians(($lon2) - ($lon1))"
+    val bx = s"(cos($p2) * cos($dLon))"; val by = s"(cos($p2) * sin($dLon))"
+    val nlat = s"atan2(sin($p1) + sin($p2), " +
+      s"sqrt((cos($p1) + $bx) * (cos($p1) + $bx) + $by * $by))"
+    val nlon = s"(radians($lon1) + atan2($by, cos($p1) + $bx))"
+    (s"degrees($nlat)", s"degrees($nlon)")
+  }
+
   /** Same formula as a SQL string — shared with the DuckDB oracle so both
    *  sides evaluate the identical arithmetic. */
   def haversineSql(lat1: String, lon1: String, lat2: String, lon2: String): String =

@@ -68,6 +68,30 @@ class GeoMathSpec extends AnyFunSuite {
     assert(math.abs(d1 - d2) < 1e-9)
   }
 
+  test("column destinationPoint/midPoint agree with the scalar GeoMath forms") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = Seq(
+      (-7.5, 110.7, 37.5, 12.0), (-6.1, 106.8, 0.5, 1.0),
+      (-8.0, 111.0, 359.5, 49.0), (-7.9, 106.1, 180.5, 25.0),
+      (8.2, 179.9995, 90.5, 30.0)) // near the antimeridian: wrap exercised
+    val df = rows.toDF("lat", "lon", "bearing", "dist")
+    val (dLat, dLon) = graft.functions.GeoFunctions.destinationPoint(
+      col("lat"), col("lon"), col("bearing"), col("dist"))
+    val (mLat, mLon) = graft.functions.GeoFunctions.midPoint(
+      col("lat"), col("lon"), col("lat") + 1.0, col("lon") - 2.0)
+    val got = df.select(dLat, dLon, mLat, mLon).collect()
+    rows.zip(got).foreach { case ((la, lo, b, d), r) =>
+      val (ela, elo) = GeoMath.destinationPoint(la, lo, b, d)
+      val (mla, mlo) = GeoMath.midPoint(la, lo, la + 1.0, lo - 2.0)
+      assert(math.abs(r.getDouble(0) - ela) < 1e-12)
+      assert(math.abs(r.getDouble(1) - elo) < 1e-12)
+      assert(math.abs(r.getDouble(2) - mla) < 1e-12)
+      assert(math.abs(r.getDouble(3) - mlo) < 1e-12)
+    }
+  }
+
   test("segment projection clamps and minimizes distance") {
     val (aLat, aLon) = (-7.50, 110.70); val (bLat, bLon) = (-7.50, 110.80)
     // point beyond endpoint b projects to b
