@@ -499,6 +499,23 @@ object Images {
     spark.createDataFrame(rdd, fpSchema(idCol))
   }
 
+  /** Join keys for the candidate equi-join, shared by the batch operator
+   *  and [[graft.streaming.ThumbStream]]: the full fingerprint when exact
+   *  (hamMax 0), else the 4 16-bit bands (pigeonhole recall for ham <= 3). */
+  def bandKeyArray(fp: Column, hamMax: Int): Column =
+    if (hamMax == 0) array(fp)
+    else array((0 until 4).map(b =>
+      shiftrightunsigned(fp, b * 16).bitwiseAND(lit(0xffffL))): _*)
+
+  /** The d7 refine predicate over a joined candidate row (same sharing):
+   *  hamming bound plus pixel verification — exact when both sides are
+   *  lossless, bounded deviation otherwise. Expects columns named
+   *  hamming / t_ll / c_ll / t_px / c_px. */
+  def refinePredicate(hamMax: Int, lossyTol: Int): Column =
+    col("hamming") <= hamMax &&
+      when(col("t_ll") && col("c_ll"), col("t_px") === col("c_px"))
+        .otherwise(maxChanDev(col("t_px"), col("c_px")) <= lossyTol)
+
   /** Max abs per-channel deviation between two packed-RGB pixel arrays. */
   private def maxChanDev(a: Column, b: Column): Column =
     array_max(zip_with(a, b, (x, y) => greatest(
@@ -531,14 +548,9 @@ object Images {
       catalog.withColumnRenamed("image_id", "cat_id"), "cat_id")
     val ths = thumbFingerprints(thumbs, "thumb_id")
 
-    def banded(df: DataFrame, idCol: String): DataFrame = {
-      val keys =
-        if (hamMax == 0) array(col("fp"))
-        else array((0 until 4).map(b =>
-          shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)
+    def banded(df: DataFrame, idCol: String): DataFrame =
       df.select(col(idCol), col("fp"), col("px"), col("lossless"),
-        posexplode(keys).as(Seq("band", "band_key")))
-    }
+        posexplode(bandKeyArray(col("fp"), hamMax)).as(Seq("band", "band_key")))
     val catB = banded(cats, "cat_id")
     val thB = banded(ths, "thumb_id")
     val admitted = maxBucket match {
@@ -557,12 +569,9 @@ object Images {
       col("lossless").as("t_ll"), col("band"), col("band_key"))
     val c = admitted.select(col("cat_id"), col("fp").as("c_fp"), col("px").as("c_px"),
       col("lossless").as("c_ll"), col("band"), col("band_key"))
-    val ham = bit_count(col("t_fp").bitwiseXOR(col("c_fp"))).cast("int")
     t.join(c, Seq("band", "band_key"))
-      .withColumn("hamming", ham)
-      .filter(col("hamming") <= hamMax &&
-        when(col("t_ll") && col("c_ll"), col("t_px") === col("c_px"))
-          .otherwise(maxChanDev(col("t_px"), col("c_px")) <= lossyTol))
+      .withColumn("hamming", bit_count(col("t_fp").bitwiseXOR(col("c_fp"))).cast("int"))
+      .filter(refinePredicate(hamMax, lossyTol))
       .select(col("thumb_id"), col("cat_id").as("image_id"), col("hamming"))
       .distinct()
   }
