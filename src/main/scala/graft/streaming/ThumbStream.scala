@@ -8,7 +8,7 @@ import graft.images.Images
 
 /** One fingerprinted thumbnail row inside the stream. */
 case class ThumbFp(ts: java.sql.Timestamp, thumb_id: String,
-                   fp: Long, px: Seq[Int], lossless: Boolean)
+                   fp: Long, pxh: Long, px: Seq[Int], lossless: Boolean)
 
 /**
  * Streaming reverse image lookup — the live half of [[Images.thumbMatch]]
@@ -23,9 +23,10 @@ case class ThumbFp(ts: java.sql.Timestamp, thumb_id: String,
  *    DataFrame that at scale is a bucketed at-rest table;
  *  - the refine is the identical predicate ([[Images.refinePredicate]]).
  *
- * In exact mode (hamMax = 0) the whole query is STATELESS — single join
- * key, no duplicate candidates, no watermark, so throughput scales with
- * executor count and state is zero. Banded mode (hamMax in [1,3]) can
+ * In exact mode (hamMax = 0) the whole query is STATELESS — the single
+ * join key is the full-matrix content hash (singleton buckets at any
+ * corpus size), no duplicate candidates, no watermark, so throughput
+ * scales with executor count and state is zero. Banded mode (hamMax in [1,3]) can
  * emit one candidate per matching band; those collapse through
  * `dropDuplicatesWithinWatermark`, whose state is one entry per MATCHED
  * pair within the horizon — bounded by output rate, not corpus size.
@@ -44,7 +45,8 @@ object ThumbStream {
               if (r.getAs[Int]("w") == 8 && r.getAs[Int]("h") == 8) dec
               else Images.resizePx(dec, r.getAs[Int]("w"), r.getAs[Int]("h"), 8, 8)
             ThumbFp(r.getAs[java.sql.Timestamp]("ts"), r.getAs[String]("thumb_id"),
-              Images.ahash8(px8), px8.toSeq, r.getAs[String]("fmt") == "png")
+              Images.ahash8(px8), Images.pxHash(px8), px8.toSeq,
+              r.getAs[String]("fmt") == "png")
         }
       })(enc)
   }
@@ -61,11 +63,13 @@ object ThumbStream {
         catalog.withColumnRenamed("image_id", "cat_id"), "cat_id")
       .select(col("cat_id"), col("fp").as("c_fp"), col("px").as("c_px"),
         col("lossless").as("c_ll"),
-        posexplode(Images.bandKeyArray(col("fp"), hamMax)).as(Seq("band", "band_key")))
+        posexplode(Images.bandKeyArray(col("fp"), col("pxh"), hamMax))
+          .as(Seq("band", "band_key")))
     val t = fingerprints(thumbStream)
       .select(col("ts"), col("thumb_id"), col("fp").as("t_fp"),
         col("px").as("t_px"), col("lossless").as("t_ll"),
-        posexplode(Images.bandKeyArray(col("fp"), hamMax)).as(Seq("band", "band_key")))
+        posexplode(Images.bandKeyArray(col("fp"), col("pxh"), hamMax))
+          .as(Seq("band", "band_key")))
     val matched = t.join(catB, Seq("band", "band_key"))
       .withColumn("hamming", bit_count(col("t_fp").bitwiseXOR(col("c_fp"))).cast("int"))
       .filter(Images.refinePredicate(hamMax, lossyTol))
