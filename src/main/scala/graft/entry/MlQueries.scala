@@ -240,6 +240,16 @@ object MlQueries {
       Images.features(Images.imageTable(s, dir).filter(col("fmt") === "png"))
         .orderBy(col("image_id"))),
 
+    // F20: deterministic augmentation (flip/rotate by (id/2)%4) over the
+    // DECODED lossless half — the training-pipeline augmentation stage.
+    // Value-level oracled: the transform is an index permutation, so
+    // DuckDB re-derives the positional checksum by permuting the weights
+    // over the px CTE (means are permutation-invariant). The mixed run
+    // rides on the same decode path; involution properties in ImagesSpec.
+    "f20_augment_png" -> ((s, dir) =>
+      Images.augment(Images.imageTable(s, dir).filter(col("fmt") === "png"))
+        .orderBy(col("image_id"))),
+
     // X9: the COMPOSED curation pipeline end to end — redact → quality/
     // repetition gate → near-dup cluster collapse → stratified sample —
     // one oracled query over the final kept set (the checkpointed-stage
@@ -515,6 +525,25 @@ object MlQueries {
          |SELECT 'th_' || lpad(CAST(tid AS VARCHAR), 12, '0') AS thumb_id,
          |  'img_' || lpad(CAST(cid AS VARCHAR), 12, '0') AS image_id, hamming
          |FROM okp ORDER BY thumb_id, image_id""".stripMargin,
+
+    "f20_augment_png" ->
+      s"""WITH $imagePixelCtes,
+         |augw AS (SELECT id, r, g, b,
+         |    CASE (id // 2) % 4
+         |      WHEN 0 THEN y * 16 + (15 - x) + 1
+         |      WHEN 1 THEN (15 - y) * 16 + x + 1
+         |      WHEN 2 THEN x * 16 + (15 - y) + 1
+         |      ELSE (15 - y) * 16 + (15 - x) + 1 END AS wgt
+         |  FROM px),
+         |augchk AS (SELECT id,
+         |    CAST(SUM(wgt * (r * 65536 + g * 256 + b)) AS BIGINT) AS chk
+         |  FROM augw GROUP BY id)
+         |SELECT $imageIdSql AS image_id,
+         |  CASE (id // 2) % 4 WHEN 0 THEN 'flip_h' WHEN 1 THEN 'flip_v'
+         |    WHEN 2 THEN 'rot90' ELSE 'rot180' END AS op,
+         |  f.mean_r4, f.mean_g4, f.mean_b4, c.chk
+         |FROM augchk c JOIN feats f USING (id)
+         |WHERE id % 2 = 0 ORDER BY image_id""".stripMargin,
 
     "g2_image_tiles" ->
       s"""WITH $imagePixelCtes

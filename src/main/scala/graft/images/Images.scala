@@ -434,6 +434,70 @@ object Images {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // ---- f20: deterministic augmentation (training-data op) ----------------
+
+  /** Index-permutation augmentations — exact integer ops, so the DuckDB
+   *  oracle re-derives the output matrix from the id (rot90 requires a
+   *  square matrix). */
+  def augmentPx(px: Array[Int], w: Int, h: Int, op: String): Array[Int] = op match {
+    case "flip_h" => Array.tabulate(w * h)(i => px((i / w) * w + (w - 1 - i % w)))
+    case "flip_v" => Array.tabulate(w * h)(i => px((h - 1 - i / w) * w + i % w))
+    case "rot180" => Array.tabulate(w * h)(i => px(w * h - 1 - i))
+    case "rot90" =>
+      require(w == h, s"rot90 needs a square matrix, got ${w}x$h")
+      Array.tabulate(w * h)(i => px((h - 1 - i % w) * w + i / w))
+    case other => throw new IllegalArgumentException(s"unknown augment op: $other")
+  }
+
+  /** The per-image op of the f20 query: (id/2) % 4 →
+   *  flip_h/flip_v/rot90/rot180 — divided by 2 so EACH codec half cycles
+   *  through all four ops (id parity selects the codec). */
+  val AugmentOps: Seq[String] = Seq("flip_h", "flip_v", "rot90", "rot180")
+
+  /**
+   * Distributed decode → deterministic augmentation → positional checksum,
+   * the standard training-pipeline augmentation stage with a value-level
+   * verification column: `chk` = Σ (i+1)·(r·65536 + g·256 + b) over the
+   * AUGMENTED matrix, exactly re-derivable in SQL for lossless rows
+   * (the transform is an index permutation, so the oracle only permutes
+   * the checksum weights). Corrupt rows skip. Output:
+   * (image_id, op, mean_r4, mean_g4, mean_b4, chk).
+   */
+  def augment(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("image_id", StringType, nullable = false),
+      StructField("op", StringType, nullable = false),
+      StructField("mean_r4", LongType, nullable = false),
+      StructField("mean_g4", LongType, nullable = false),
+      StructField("mean_b4", LongType, nullable = false),
+      StructField("chk", LongType, nullable = false)))
+    val rdd = images.select(col("image_id"), col("bytes"), col("w"), col("h"))
+      .rdd.mapPartitions(_.flatMap { r =>
+        val idOpt = scala.util.Try(r.getString(0).stripPrefix("img_").toLong).toOption
+        val decOpt = tryDecode(r.getAs[Array[Byte]]("bytes"))
+        (idOpt, decOpt) match {
+          case (Some(id), Some(dec))
+              if dec.length == r.getAs[Int]("w") * r.getAs[Int]("h") =>
+            val op = AugmentOps(((id / 2) % 4).toInt)
+            val px = augmentPx(dec, r.getAs[Int]("w"), r.getAs[Int]("h"), op)
+            var sr = 0L; var sg = 0L; var sb = 0L; var chk = 0L
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              chk += (i + 1).toLong * (p & 0xffffff)
+              i += 1
+            }
+            val n = px.length
+            Some(Row(r.getString(0), op,
+              sr * 10000 / n, sg * 10000 / n, sb * 10000 / n, chk))
+          case _ => None
+        }
+      })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   // ---- d7: thumbnail → catalog reverse lookup ----------------------------
 
   /** Seed offset for "foreign" thumbnails (no catalog source): keeps the

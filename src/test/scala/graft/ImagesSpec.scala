@@ -43,6 +43,34 @@ class ImagesSpec extends AnyFunSuite {
     assert(verified.filter(col("fmt") === "jpeg" && col("psnr4") < 400000L).count() == 0)
   }
 
+  test("augment ops: involutions, rotation composition, content preserved") {
+    val px = Images.pixels(42L)
+    def aug(p: Array[Int], op: String) = Images.augmentPx(p, 16, 16, op)
+    // flips and rot180 are involutions; rot90 four times is identity
+    assert(aug(aug(px, "flip_h"), "flip_h").sameElements(px))
+    assert(aug(aug(px, "flip_v"), "flip_v").sameElements(px))
+    assert(aug(aug(px, "rot180"), "rot180").sameElements(px))
+    assert(aug(aug(aug(aug(px, "rot90"), "rot90"), "rot90"), "rot90").sameElements(px))
+    // rot90 twice == rot180; flip_h then flip_v == rot180
+    assert(aug(aug(px, "rot90"), "rot90").sameElements(aug(px, "rot180")))
+    assert(aug(aug(px, "flip_h"), "flip_v").sameElements(aug(px, "rot180")))
+    // permutation: multiset of pixels unchanged
+    assert(aug(px, "rot90").sorted.sameElements(px.sorted))
+    // spot value: flip_h moves (0,0) to (15,0)
+    assert(aug(px, "flip_h")(15) == px(0))
+  }
+
+  test("augment query runs the mixed table: every decodable row, op by (id/2)%4") {
+    val out = Images.augment(Images.imageTable(spark, TestSpark.Sf)).cache()
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    assert(out.count() == docs.count())
+    val bad = out.withColumn("id", substring(col("image_id"), 5, 12).cast("long"))
+      .filter(col("op") =!= element_at(
+        typedLit(Images.AugmentOps), ((col("id") / 2) % 4).cast("int") + 1))
+      .count()
+    assert(bad == 0)
+  }
+
   test("corrupt bytes: transforms skip the row, decodeVerify reports it, nothing crashes") {
     import org.apache.spark.sql.Row
     val good = Images.imageTable(spark, TestSpark.Sf).limit(3)
