@@ -90,6 +90,34 @@ object SpatialQueries {
         .orderBy(col("id"))
     }),
 
+    // P1+P2+P3+F12 as one oracled cascade over a deterministic tags map:
+    // admission via exists(map_keys ∈ valid), type via the coalesce
+    // cascade, empty-name skip, capitalize — the Spark side runs the REAL
+    // map-column idioms; the oracle re-derives every decision
+    // arithmetically from the id (an independent derivation, not a
+    // translation of the plan)
+    "p1_tag_cascade" -> ((s, dir) => {
+      val id = col("id")
+      val keyPool = Seq("amenity", "highway", "tourism", "building", "landuse")
+      val primary = element_at(typedLit(keyPool), (id % 5).cast("int") + 1)
+      val base = map(primary, concat(lit("v"), (id % 13).cast("string")))
+      val tags = when(id % 3 =!= 0, map_concat(base,
+          map(lit("name"), concat(lit("obj "), (id % 100).cast("string")))))
+        .otherwise(base)
+      val name = col("tags")("name")
+      objects(s, dir).filter(id % 11 === 0)
+        .select(id, tags.as("tags"))
+        .filter(exists(map_keys(col("tags")),
+          k => k.isin("amenity", "highway", "tourism")))                  // P1
+        .withColumn("tipe", coalesce(col("tags")("amenity"),
+          col("tags")("tourism"), col("tags")("highway")))                // P2
+        .filter(name.isNotNull || col("tags")("highway").isNotNull)       // P3
+        .select(id, col("tipe"),
+          concat(upper(substring(name, 1, 1)),
+            lower(substring(name, 2, 1000000))).as("name_cap"))           // F12
+        .orderBy(id)
+    }),
+
     // G1: tile assignment — the north-rule core; emits the cell's (x, y)
     // grid coordinates so the oracle can recompute them arithmetically
     "g1_tile_assign" -> ((s, dir) =>
@@ -280,6 +308,23 @@ object SpatialQueries {
       s"""WITH ${Derived.objectsSqlCte}
          |SELECT id, ${q4Sql(distQ)} AS dist4 FROM objects
          |WHERE id % 13 = 0 ORDER BY id""".stripMargin,
+
+    "p1_tag_cascade" ->
+      s"""WITH ${Derived.objectsSqlCte},
+         |t AS (SELECT id,
+         |    CASE id % 5 WHEN 0 THEN 'amenity' WHEN 1 THEN 'highway'
+         |      WHEN 2 THEN 'tourism' WHEN 3 THEN 'building'
+         |      ELSE 'landuse' END AS pk,
+         |    'v' || CAST(id % 13 AS VARCHAR) AS pv,
+         |    CASE WHEN id % 3 <> 0
+         |      THEN 'obj ' || CAST(id % 100 AS VARCHAR) END AS name
+         |  FROM objects WHERE id % 11 = 0)
+         |SELECT id, pv AS tipe,
+         |  upper(substr(name, 1, 1)) || lower(substr(name, 2)) AS name_cap
+         |FROM t
+         |WHERE pk IN ('amenity', 'highway', 'tourism')
+         |  AND (name IS NOT NULL OR pk = 'highway')
+         |ORDER BY id""".stripMargin,
 
     "f3_destination" -> {
       val (dlat, dlon) = GeoFunctions.destinationSql(
