@@ -137,6 +137,21 @@ object MlQueries {
       Ann.ivfTopK(assigned, cents, q, k = 10, nprobe = 8)
     }),
 
+    // E5: SQ8 scalar quantization of the embedding corpus (the ANN-index
+    // memory-reduction step) — per-dim min/max, broadcast-joined codes,
+    // summarized per vector as a positional checksum + clip count so the
+    // whole 64-dim code table is value-checked row by row in DuckDB
+    // (double arithmetic is identical cross-engine: min/max + one
+    // subtract/multiply/divide chain, no float sums)
+    "e5_quantize_sq8" -> ((s, dir) =>
+      Ann.quantizeSq8(emb(s, dir), "vec_id", "embedding")
+        .groupBy(col("vec_id"))
+        .agg(sum((col("j") + 1) * col("code")).as("chk"),
+          min(col("code")).as("code_min"), max(col("code")).as("code_max"),
+          sum(when(col("code") === 0 || col("code") === 255, 1L)
+            .otherwise(0L)).as("n_clip"))
+        .orderBy(col("vec_id"))),
+
     // F18: distributed decode -> deterministic resize -> lossless re-encode
     // over the binary column, VERIFIED row-by-row: the output png bytes are
     // decoded back and compared against the resize of the re-derived source
@@ -525,6 +540,23 @@ object MlQueries {
          |SELECT 'th_' || lpad(CAST(tid AS VARCHAR), 12, '0') AS thumb_id,
          |  'img_' || lpad(CAST(cid AS VARCHAR), 12, '0') AS image_id, hamming
          |FROM okp ORDER BY thumb_id, image_id""".stripMargin,
+
+    "e5_quantize_sq8" ->
+      s"""WITH x AS (SELECT vec_id, j,
+         |    CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) AS v
+         |  FROM embeddings, (SELECT unnest(range(64)) AS j)),
+         |s AS (SELECT j, MIN(v) AS lo, MAX(v) AS hi FROM x GROUP BY j),
+         |c AS (SELECT vec_id, x.j,
+         |    CASE WHEN hi = lo THEN 0
+         |      ELSE CAST(round((v - lo) * 255.0 / (hi - lo)) AS BIGINT)
+         |    END AS code
+         |  FROM x JOIN s USING (j))
+         |SELECT vec_id, CAST(SUM((j + 1) * code) AS BIGINT) AS chk,
+         |  CAST(MIN(code) AS BIGINT) AS code_min,
+         |  CAST(MAX(code) AS BIGINT) AS code_max,
+         |  CAST(SUM(CASE WHEN code = 0 OR code = 255 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_clip
+         |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "f20_augment_png" ->
       s"""WITH $imagePixelCtes,

@@ -184,6 +184,30 @@ object Ann {
         .filter(col("list").isin(probes.map(Integer.valueOf): _*)), query, k)
   }
 
+  /**
+   * SQ8 scalar quantization of the embedding column — the memory-reduction
+   * step an ANN index runs before PQ/IVF at scale (4× smaller vectors,
+   * asymmetric-distance-ready). Per-dimension corpus min/max (one small
+   * aggregation — 1 row per dim), then code = round((v−lo)·255/(hi−lo)),
+   * joined back via BROADCAST (the stats table is dims-sized). All
+   * arithmetic is double-exact and order-independent (min/max, no float
+   * sums), so DuckDB reproduces every code bit-for-bit.
+   * Output: (idCol, j, code) — one row per dimension, the layout an
+   * at-rest code table stores. Constant dims (hi == lo) code to 0.
+   */
+  def quantizeSq8(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val x = embeddings.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("j", "vf")))
+      .select(col(idCol), col("j"), col("vf").cast("double").as("v"))
+    val stats = x.groupBy(col("j"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    x.join(broadcast(stats), Seq("j"))
+      .select(col(idCol), col("j"),
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          round((col("v") - col("lo")) * 255.0 / (col("hi") - col("lo")))
+            .cast("long")).as("code"))
+  }
+
   /** Near-duplicate pairs by cosine >= threshold, LSH-bucketed self-join
    *  (exact within a bucket; recall governed by nBits). */
   def cosinePairs(bucketed: DataFrame, threshold: Double): DataFrame = {

@@ -83,6 +83,25 @@ class AnnSpec extends AnyFunSuite {
     assert(pf.contains("list"), s"list probe not a partition filter:\n$plan")
   }
 
+  test("SQ8 quantization: codes in [0,255], extremes hit both ends, reconstruction bounded") {
+    val codes = Ann.quantizeSq8(emb, "vec_id", "embedding").cache()
+    val n = emb.count()
+    assert(codes.count() == n * 64)
+    assert(codes.filter(col("code") < 0 || col("code") > 255).count() == 0)
+    // every dimension's min codes to 0 and max to 255
+    val perDim = codes.groupBy("j")
+      .agg(min(col("code")).as("mn"), max(col("code")).as("mx"))
+    assert(perDim.filter(col("mn") =!= 0 || col("mx") =!= 255).count() == 0)
+    // reconstruction: |v - (lo + code*(hi-lo)/255)| <= (hi-lo)/510 + eps
+    val x = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "vf")))
+      .select(col("vec_id"), col("j"), col("vf").cast("double").as("v"))
+    val stats = x.groupBy("j").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val bad = codes.join(x, Seq("vec_id", "j")).join(stats, Seq("j"))
+      .filter(abs(col("v") - (col("lo") + col("code") * (col("hi") - col("lo")) / 255.0))
+        > (col("hi") - col("lo")) / 510.0 + 1e-12)
+    assert(bad.count() == 0)
+  }
+
   test("deterministic hyperplanes: same (j, dim) -> same vector") {
     assert(Ann.hyperplane(3, 16).toSeq == Ann.hyperplane(3, 16).toSeq)
     assert(Ann.hyperplane(3, 16).forall(v => v >= -1.0 && v < 1.0))
