@@ -588,11 +588,15 @@ object Images {
   /** Join keys for the candidate equi-join, shared by the batch operator
    *  and [[graft.streaming.ThumbStream]]: the full-matrix content hash
    *  when exact (hamMax 0 — singleton buckets, strictly linear), else the
-   *  4 16-bit aHash bands (pigeonhole recall for hamming <= 3). */
+   *  4 16-bit aHash bands (pigeonhole recall for hamming <= 3), each
+   *  tagged with its band index in bits 16-17 so the candidate join is a
+   *  SINGLE-column equi-join — which a table bucketed on band_key then
+   *  satisfies shuffle-free on the catalog side. */
   def bandKeyArray(fp: Column, pxh: Column, hamMax: Int): Column =
     if (hamMax == 0) array(pxh)
     else array((0 until 4).map(b =>
-      shiftrightunsigned(fp, b * 16).bitwiseAND(lit(0xffffL))): _*)
+      shiftrightunsigned(fp, b * 16).bitwiseAND(lit(0xffffL))
+        .bitwiseOR(lit(b.toLong << 16))): _*)
 
   /** The d7 refine predicate over a joined candidate row (same sharing):
    *  hamming bound plus pixel verification — exact when both sides are
@@ -628,36 +632,49 @@ object Images {
    * with the cap it is <= 4 * maxBucket * |thumbs|, i.e. LINEAR at any
    * corpus size. None = exact semantics (the oracled configuration).
    */
-  def thumbMatch(catalog: DataFrame, thumbs: DataFrame, hamMax: Int,
-                 maxBucket: Option[Int], lossyTol: Int): DataFrame = {
+  /** The catalog side of the candidate join, as ROWS: one row per
+   *  (candidate key, image) with the refine payload. This is what
+   *  [[graft.pipeline.TableIO.bucketedStage]] persists (bucketed by
+   *  band_key) for the build-once/serve-later form — the serving join
+   *  then reads the catalog side shuffle-free. */
+  def catalogIndex(catalog: DataFrame, hamMax: Int): DataFrame = {
     require(hamMax >= 0 && hamMax <= 3, s"4x16 banding covers hamming <= 3, got $hamMax")
-    val cats = thumbFingerprints(
-      catalog.withColumnRenamed("image_id", "cat_id"), "cat_id")
-    val ths = thumbFingerprints(thumbs, "thumb_id")
+    thumbFingerprints(catalog.withColumnRenamed("image_id", "cat_id"), "cat_id")
+      .select(col("cat_id"), col("fp"), col("px"), col("lossless"),
+        explode(bandKeyArray(col("fp"), col("pxh"), hamMax)).as("band_key"))
+  }
 
-    def banded(df: DataFrame, idCol: String): DataFrame =
-      df.select(col(idCol), col("fp"), col("px"), col("lossless"),
-        posexplode(bandKeyArray(col("fp"), col("pxh"), hamMax))
-          .as(Seq("band", "band_key")))
-    val catB = banded(cats, "cat_id")
-    val thB = banded(ths, "thumb_id")
+  def thumbMatch(catalog: DataFrame, thumbs: DataFrame, hamMax: Int,
+                 maxBucket: Option[Int], lossyTol: Int): DataFrame =
+    thumbMatchIndexed(catalogIndex(catalog, hamMax), thumbs, hamMax,
+      maxBucket, lossyTol)
+
+  /** [[thumbMatch]] against a pre-built (possibly at-rest bucketed)
+   *  [[catalogIndex]] — no catalog re-fingerprinting per run. */
+  def thumbMatchIndexed(catIndex: DataFrame, thumbs: DataFrame, hamMax: Int,
+                        maxBucket: Option[Int], lossyTol: Int): DataFrame = {
+    require(hamMax >= 0 && hamMax <= 3, s"4x16 banding covers hamming <= 3, got $hamMax")
+    val ths = thumbFingerprints(thumbs, "thumb_id")
+    val catB = catIndex
+    val thB = ths.select(col("thumb_id"), col("fp"), col("px"), col("lossless"),
+      explode(bandKeyArray(col("fp"), col("pxh"), hamMax)).as("band_key"))
     val admitted = maxBucket match {
       case None => catB
       case Some(cap) =>
-        val ok = catB.select(col("band"), col("band_key"))
-          .unionAll(thB.select(col("band"), col("band_key")))
-          .groupBy(col("band"), col("band_key")).count()
+        val ok = catB.select(col("band_key"))
+          .unionAll(thB.select(col("band_key")))
+          .groupBy(col("band_key")).count()
           .filter(col("count") <= cap)
-          .select(col("band"), col("band_key"))
-        catB.join(ok, Seq("band", "band_key"))
+          .select(col("band_key"))
+        catB.join(ok, Seq("band_key"))
           .select(col("cat_id"), col("fp"), col("px"), col("lossless"),
-            col("band"), col("band_key"))
+            col("band_key"))
     }
     val t = thB.select(col("thumb_id"), col("fp").as("t_fp"), col("px").as("t_px"),
-      col("lossless").as("t_ll"), col("band"), col("band_key"))
+      col("lossless").as("t_ll"), col("band_key"))
     val c = admitted.select(col("cat_id"), col("fp").as("c_fp"), col("px").as("c_px"),
-      col("lossless").as("c_ll"), col("band"), col("band_key"))
-    t.join(c, Seq("band", "band_key"))
+      col("lossless").as("c_ll"), col("band_key"))
+    t.join(c, Seq("band_key"))
       .withColumn("hamming", bit_count(col("t_fp").bitwiseXOR(col("c_fp"))).cast("int"))
       .filter(refinePredicate(hamMax, lossyTol))
       .select(col("thumb_id"), col("cat_id").as("image_id"), col("hamming"))

@@ -63,14 +63,12 @@ object ThumbStream {
         catalog.withColumnRenamed("image_id", "cat_id"), "cat_id")
       .select(col("cat_id"), col("fp").as("c_fp"), col("px").as("c_px"),
         col("lossless").as("c_ll"),
-        posexplode(Images.bandKeyArray(col("fp"), col("pxh"), hamMax))
-          .as(Seq("band", "band_key")))
+        explode(Images.bandKeyArray(col("fp"), col("pxh"), hamMax)).as("band_key"))
     val t = fingerprints(thumbStream)
       .select(col("ts"), col("thumb_id"), col("fp").as("t_fp"),
         col("px").as("t_px"), col("lossless").as("t_ll"),
-        posexplode(Images.bandKeyArray(col("fp"), col("pxh"), hamMax))
-          .as(Seq("band", "band_key")))
-    val matched = t.join(catB, Seq("band", "band_key"))
+        explode(Images.bandKeyArray(col("fp"), col("pxh"), hamMax)).as("band_key"))
+    val matched = t.join(catB, Seq("band_key"))
       .withColumn("hamming", bit_count(col("t_fp").bitwiseXOR(col("c_fp"))).cast("int"))
       .filter(Images.refinePredicate(hamMax, lossyTol))
       .select(col("ts"), col("thumb_id"), col("cat_id").as("image_id"), col("hamming"))

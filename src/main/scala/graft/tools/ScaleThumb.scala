@@ -63,14 +63,14 @@ object ScaleThumb {
 
     // band-bucket telemetry: what would the UNCAPPED banding join?
     val catFp = Images.thumbFingerprints(catalog.withColumnRenamed("image_id", "cat_id"), "cat_id")
-      .select(col("cat_id"), posexplode(Images.bandKeyArray(col("fp"), col("pxh"), 3))
-        .as(Seq("band", "band_key"))).persist()
+      .select(col("cat_id"),
+        explode(Images.bandKeyArray(col("fp"), col("pxh"), 3)).as("band_key")).persist()
     val thFp = Images.thumbFingerprints(thumbs, "thumb_id")
-      .select(col("thumb_id"), posexplode(Images.bandKeyArray(col("fp"), col("pxh"), 3))
-        .as(Seq("band", "band_key"))).persist()
-    val hist = catFp.groupBy("band", "band_key").count().withColumnRenamed("count", "nc")
-      .join(thFp.groupBy("band", "band_key").count().withColumnRenamed("count", "nt"),
-        Seq("band", "band_key"), "full")
+      .select(col("thumb_id"),
+        explode(Images.bandKeyArray(col("fp"), col("pxh"), 3)).as("band_key")).persist()
+    val hist = catFp.groupBy("band_key").count().withColumnRenamed("count", "nc")
+      .join(thFp.groupBy("band_key").count().withColumnRenamed("count", "nt"),
+        Seq("band_key"), "full")
       .na.fill(0, Seq("nc", "nt"))
       .withColumn("tot", col("nc") + col("nt"))
       .persist()

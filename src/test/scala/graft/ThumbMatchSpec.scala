@@ -92,6 +92,29 @@ class ThumbMatchSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("broadcastnestedloop"))
   }
 
+  test("at-rest catalog index: staged bucketed, served shuffle-free, result parity") {
+    import graft.pipeline.TableIO
+    val dir = java.nio.file.Files.createTempDirectory("thumb_idx").toString
+    val idx = TableIO.bucketedStage(spark, dir, "thumb_fp_h3", "band_key", 8)(
+      Images.catalogIndex(catalog, hamMax = 3))
+    val direct = Images.thumbMatch(catalog, thumbs, hamMax = 3,
+      maxBucket = None, lossyTol = 16)
+    val served = Images.thumbMatchIndexed(idx, thumbs, hamMax = 3,
+      maxBucket = None, lossyTol = 16)
+    assert(served.join(direct, Seq("thumb_id", "image_id", "hamming"), "full")
+      .filter(col("thumb_id").isNull || col("image_id").isNull).count() == 0)
+    assert(served.count() == direct.count())
+    // the catalog side of the serving join reads the bucketed table: its
+    // scan is bucket-aware and carries no Exchange above it
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Images.thumbMatchIndexed(idx, thumbs, hamMax = 3,
+        maxBucket = None, lossyTol = 16).queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"catalog scan not bucket-aware:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("corrupt thumbnail bytes are skipped, not fatal") {
     import org.apache.spark.sql.Row
     val corrupt = spark.createDataFrame(
