@@ -272,6 +272,33 @@ object MlQueries {
     "x9_curation_e2e" -> ((s, dir) =>
       graft.ml.Curation.plan(docs(s, dir)).orderBy(col("doc_id"))),
 
+    // X10: COMPOSED multimodal curation — the image+caption twin of x9:
+    // corrupt-image gate (decode inside the chk pass), caption-quality
+    // gate (same quality4 >= QualityMin as the text chain), then
+    // DECODE-LEVEL image dedup (positional checksum of the decoded
+    // matrix), which collapses byte-identical re-labels AND cross-codec
+    // lossless re-saves of lossy images — the dup class byte hashing
+    // misses. Keep = min image_id per cluster (originals sort first).
+    // The oracle re-derives the kept set and each cluster's size
+    // structurally (gate from text, dup classes from the id arithmetic)
+    // — it never needs the codec-dependent jpeg checksum values.
+    "x10_mm_curation" -> ((s, dir) => {
+      val imgs = Images.imageTable(s, dir)
+      val all = imgs.unionByName(Images.resaveTable(imgs))
+      val keys = Images.decodeChk(all)
+        .withColumn("doc_id", substring(col("image_id"), 5, 12).cast("long"))
+      val okDocs = docs(s, dir)
+        .select(col("doc_id"), TextStats.qualityScoreCol(col("text")).as("q"))
+        .filter(round(col("q") * 10000).cast("long") >= graft.ml.Curation.QualityMin)
+        .select(col("doc_id"))
+      keys.join(okDocs, Seq("doc_id"))
+        .groupBy(col("chk"))
+        .agg(min(col("image_id")).as("image_id"),
+          min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dup"))
+        .select(col("image_id"), col("doc_id"), col("n_dup"))
+        .orderBy(col("image_id"))
+    }),
+
     // F21: the audio payload — synthesize WAV bytes, DECODE them
     // partition-parallel, extract per-clip features. Value-level oracled:
     // the integer-only synthesis lets DuckDB re-derive every feature from
@@ -540,6 +567,19 @@ object MlQueries {
          |SELECT 'th_' || lpad(CAST(tid AS VARCHAR), 12, '0') AS thumb_id,
          |  'img_' || lpad(CAST(cid AS VARCHAR), 12, '0') AS image_id, hamming
          |FROM okp ORDER BY thumb_id, image_id""".stripMargin,
+
+    "x10_mm_curation" ->
+      s"""WITH q AS (SELECT doc_id,
+         |    ${TextStats.qualitySqlSelect("text").last}
+         |  FROM documents),
+         |ok AS (SELECT doc_id FROM q
+         |  WHERE quality4 >= ${graft.ml.Curation.QualityMin})
+         |SELECT 'img_' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id,
+         |  doc_id,
+         |  CAST(1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+         |         + CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS n_dup
+         |FROM ok ORDER BY image_id""".stripMargin,
 
     "e5_quantize_sq8" ->
       s"""WITH x AS (SELECT vec_id, j,

@@ -434,6 +434,62 @@ object Images {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // ---- x10: multimodal curation (image + caption, composed) --------------
+
+  /** Duplicate classes for the multimodal curation query: every
+   *  doc_id % 5 == 0 contributes a byte-identical re-labeled copy
+   *  ('zcp_'), and every doc_id % 10 == 3 a CROSS-CODEC lossless re-save
+   *  ('zpx_': the DECODED lossy pixels re-encoded as png) — the duplicate
+   *  class byte-level hashing misses and decode-level dedup catches.
+   *  Prefixes sort after 'img_', so min-per-cluster keeps originals. */
+  def resaveTable(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    val rdd = images.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+      .rdd.mapPartitions(_.flatMap { r =>
+        scala.util.Try(r.getString(0).stripPrefix("img_").toLong).toOption.toSeq
+          .flatMap { id =>
+            val suffix = f"$id%012d"
+            val byteCopy =
+              if (id % 5 == 0)
+                Seq(Row(s"zcp_$suffix", r.getAs[Array[Byte]]("bytes"),
+                  r.getAs[Int]("w"), r.getAs[Int]("h"), r.getAs[String]("fmt"),
+                  r.getAs[String]("caption"), r.getAs[Long]("phash")))
+              else Nil
+            val resave =
+              if (id % 10 == 3)
+                tryDecode(r.getAs[Array[Byte]]("bytes")).map { px =>
+                  Row(s"zpx_$suffix",
+                    encodeWH(px, r.getAs[Int]("w"), r.getAs[Int]("h"), "png"),
+                    r.getAs[Int]("w"), r.getAs[Int]("h"), "png",
+                    r.getAs[String]("caption"), r.getAs[Long]("phash"))
+                }.toSeq
+              else Nil
+            byteCopy ++ resave
+          }
+      })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Decode-level content key: positional checksum of the DECODED matrix
+   *  (not the bytes), so a lossless re-save of a lossy image keys
+   *  identically to its source. Corrupt rows drop. */
+  def decodeChk(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("image_id", StringType, nullable = false),
+      StructField("chk", LongType, nullable = false)))
+    val rdd = images.select(col("image_id"), col("bytes"))
+      .rdd.mapPartitions(_.flatMap { r =>
+        tryDecode(r.getAs[Array[Byte]]("bytes")).map { px =>
+          var chk = 0L
+          var i = 0
+          while (i < px.length) { chk += (i + 1).toLong * (px(i) & 0xffffff); i += 1 }
+          Row(r.getString(0), chk)
+        }
+      })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   // ---- f20: deterministic augmentation (training-data op) ----------------
 
   /** Index-permutation augmentations — exact integer ops, so the DuckDB

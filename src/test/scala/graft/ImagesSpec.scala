@@ -71,6 +71,26 @@ class ImagesSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("x10 multimodal curation: copies and cross-codec re-saves collapse, originals kept") {
+    val imgs = Images.imageTable(spark, TestSpark.Sf)
+    val resaves = Images.resaveTable(imgs).cache()
+    // every zpx_ row decodes to the SAME matrix as its source (cross-codec)
+    val srcChk = Images.decodeChk(imgs)
+      .withColumnRenamed("chk", "src_chk")
+      .withColumn("sid", substring(col("image_id"), 5, 12))
+    val zpx = Images.decodeChk(resaves.filter(col("image_id").startsWith("zpx_")))
+      .withColumn("sid", substring(col("image_id"), 5, 12))
+    assert(zpx.join(srcChk.drop("image_id"), Seq("sid"))
+      .filter(col("chk") =!= col("src_chk")).count() == 0)
+    // the composed query never emits a copy row and sizes clusters right
+    val out = graft.SparkEntry.queries("x10_mm_curation")(spark, TestSpark.Sf).cache()
+    assert(out.filter(!col("image_id").startsWith("img_")).count() == 0)
+    assert(out.filter(col("doc_id") % 5 === 0 && col("n_dup") < 2).count() == 0)
+    assert(out.filter(col("doc_id") % 10 === 3 && col("n_dup") < 2).count() == 0)
+    assert(out.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 10 =!= 3
+      && col("n_dup") =!= 1).count() == 0)
+  }
+
   test("corrupt bytes: transforms skip the row, decodeVerify reports it, nothing crashes") {
     import org.apache.spark.sql.Row
     val good = Images.imageTable(spark, TestSpark.Sf).limit(3)
