@@ -19,6 +19,14 @@ object MlQueries {
   val JaccardMaxId = 200L
   val JaccardThreshold = 0.7
   val MinhashMaxId = 200L
+  /** d8: spans of 5 tokens (production ExactSubstr uses ~50; 5 keeps the
+   *  sf0.01 signal nondegenerate — 1,096 duplicated spans across 71 docs). */
+  val SpanK = 5
+  /** d9: 4-token overlap vs the benchmark cut (38/470 contaminated at
+   *  sf0.01 — sparse but nonempty, like a real eval-suite leak). */
+  val DecontamK = 4
+  /** d9 benchmark cut: doc_id % 17 == 0 plays the eval suite. */
+  val DecontamMod = 17
   val CosinePairBits = 8
   /** x7 training-mix rates: downsample the dominant language, keep most of
    *  the rest, near-drop unidentified text. */
@@ -74,6 +82,27 @@ object MlQueries {
       Dedup.dupClusters(d, "doc_id", pairs).orderBy(col("doc_id"))
     }),
 
+    // D8: exact duplicated-span statistics (ExactSubstr dedup signal, Lee
+    // et al. 2022 re-expressed relationally) — per doc: span counts,
+    // duplicated-span occurrences, and the merged-interval token coverage a
+    // span remover would cut. Fully value-level oracled.
+    "d8_span_dedup" -> ((s, dir) =>
+      Dedup.spanDupStats(docs(s, dir), "doc_id", "text", SpanK)
+        .orderBy(col("doc_id"))),
+
+    // D9: benchmark decontamination (GPT-3/PaLM-style n-gram overlap): the
+    // doc_id % 17 == 0 cut plays the eval suite; every other doc is flagged
+    // with its count of distinct overlapping k-token spans. The benchmark
+    // span set is broadcast — training spans never shuffle for the join.
+    "d9_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+          d.filter(col("doc_id") % DecontamMod =!= 0),
+          d.filter(col("doc_id") % DecontamMod === 0),
+          "doc_id", "text", DecontamK)
+        .orderBy(col("doc_id"))
+    }),
+
     // D7: thumbnail → catalog reverse lookup (perceptual image dedup).
     // Both sides are fingerprinted map-side with the SAME function (aHash
     // of the 2×2-box 8×8 matrix — bytes never shuffle), candidates come
@@ -122,6 +151,23 @@ object MlQueries {
       Ann.cosinePairs(Ann.lshBuckets(e, "vec_id", "embedding", CosinePairBits, dim),
           CosinePairThreshold)
         .orderBy(col("id1"), col("id2"))
+    }),
+
+    // E6: embedding near-dup CLUSTERS — the clustering step after e4's
+    // LSH-bucketed cosine pairs (the embedding twin of d6): connected
+    // components over the pair graph, keep = min vec_id. Oracled against an
+    // independent recursive-CTE transitive closure over the same SQL-derived
+    // pair set.
+    "e6_embed_clusters" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val pairs = Ann.cosinePairs(
+          Ann.lshBuckets(e, "vec_id", "embedding", CosinePairBits, dim),
+          CosinePairThreshold)
+        .select(col("id1"), col("id2"))
+      Dedup.dupClusters(e.select(col("vec_id")), "vec_id", pairs)
+        .select(col("doc_id").as("vec_id"), col("keep_id"))
+        .orderBy(col("vec_id"))
     }),
 
     // E3: IVF (inverted-file) approximate top-k — full probe (nprobe =
@@ -741,6 +787,65 @@ object MlQueries {
          |  SELECT e.id1, reach.r FROM sym e JOIN reach ON e.id2 = reach.id)
          |SELECT id AS doc_id, MIN(r) AS keep_id FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // the span pipeline re-derived from scratch: tokenize -> k-gram windows
+    // with positions -> global occurrence count -> per-doc dup occurrences
+    // and merged-interval coverage (DISTINCT over exploded positions)
+    "d8_span_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, ${T("text")} AS ts FROM documents),
+         |sp AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |    array_to_string(ts[CAST(i+1 AS INTEGER):CAST(i+$SpanK AS INTEGER)], ' ') AS span
+         |  FROM toks, LATERAL (SELECT unnest(range(greatest(len(ts) - ${SpanK - 1}, 0))) AS i) u),
+         |dup AS (SELECT span FROM sp GROUP BY span HAVING COUNT(*) >= 2),
+         |occ AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING(span)),
+         |perdoc AS (SELECT doc_id, COUNT(*) AS ds FROM occ GROUP BY doc_id),
+         |cov AS (SELECT doc_id, COUNT(*) AS dc FROM (
+         |    SELECT DISTINCT doc_id, pos + j AS p
+         |    FROM occ, (SELECT unnest(range($SpanK)) AS j) w) GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(greatest(len(ts) - ${SpanK - 1}, 0) AS BIGINT) AS n_spans,
+         |  COALESCE(ds, 0) AS dup_spans, COALESCE(dc, 0) AS dup_cov
+         |FROM toks t LEFT JOIN perdoc USING(doc_id) LEFT JOIN cov USING(doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // decontamination: distinct benchmark spans (the % 17 == 0 cut), count
+    // of distinct overlapping spans per training doc
+    "d9_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, ${T("text")} AS ts FROM documents),
+         |sp AS (SELECT doc_id,
+         |    array_to_string(ts[CAST(i+1 AS INTEGER):CAST(i+$DecontamK AS INTEGER)], ' ') AS span
+         |  FROM toks, LATERAL (SELECT unnest(range(greatest(len(ts) - ${DecontamK - 1}, 0))) AS i) u),
+         |bench AS (SELECT DISTINCT span FROM sp WHERE doc_id % $DecontamMod = 0),
+         |hits AS (SELECT s.doc_id, COUNT(DISTINCT s.span) AS nh
+         |  FROM sp s JOIN bench USING(span) WHERE s.doc_id % $DecontamMod != 0 GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(nh, 0) AS n_hits, COALESCE(nh, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits USING(doc_id)
+         |WHERE d.doc_id % $DecontamMod != 0 ORDER BY d.doc_id""".stripMargin,
+
+    // embedding near-dup clusters: recursive-CTE transitive closure (the
+    // d6/g7 oracle pattern) over the SAME pair set e4 derives in SQL
+    "e6_embed_clusters" ->
+      s"""WITH RECURSIVE ${lshSigCtes(CosinePairBits)},
+         |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |    unnest(range(len(embedding))) AS pos
+         |  FROM embeddings),
+         |bpairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pc AS (SELECT p.id1, p.id2,
+         |    SUM(x.v * y.v) / (sqrt(SUM(x.v * x.v)) * sqrt(SUM(y.v * y.v))) AS cos
+         |  FROM bpairs p
+         |  JOIN ev x ON x.vec_id = p.id1
+         |  JOIN ev y ON y.vec_id = p.id2 AND x.pos = y.pos
+         |  GROUP BY 1, 2),
+         |cp AS (SELECT id1, id2 FROM pc WHERE cos >= $CosinePairThreshold),
+         |sym AS (SELECT id1, id2 FROM cp
+         |  UNION ALL SELECT id2 AS id1, id1 AS id2 FROM cp),
+         |reach(id, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.id1, reach.r FROM sym e JOIN reach ON e.id2 = reach.id)
+         |SELECT id AS vec_id, MIN(r) AS keep_id FROM reach
+         |GROUP BY id ORDER BY vec_id""".stripMargin,
 
     // portable simhash: md5-60-bit term hash (top 60 bits of the digest,
     // exact in both engines), ±1 bit sums over token OCCURRENCES, majority

@@ -214,6 +214,88 @@ object Dedup {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  // ---- exact substring-span dedup / decontamination -------------------------
+
+  /** Token k-gram span array over a token-array column: element i is the
+   *  space-joined window tokens[i..i+k-1] (0-based window start). Empty when
+   *  the doc has fewer than k tokens. */
+  def spans(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exploded span occurrences: (doc_id, pos, span) — pos is the 0-based
+   *  token index where the k-gram starts. One row per occurrence (NOT
+   *  distinct: within-doc repeats are themselves duplication signal). */
+  def spanTable(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(spans(graft.sources.Derived.tokens(col(textCol)), k)).as(Seq("pos", "span")))
+
+  /**
+   * Exact duplicated-span statistics — the ExactSubstr dedup signal of
+   * "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+   * 2022), re-expressed as relational ops instead of a suffix array: a span
+   * is DUPLICATED iff its k-token window occurs >= 2 times anywhere in the
+   * corpus (within or across documents). Output, one row per input doc:
+   *   (doc_id, n_tokens, n_spans, dup_spans, dup_cov)
+   * where dup_spans counts this doc's duplicated span occurrences and
+   * dup_cov counts the token positions covered by at least one duplicated
+   * span (the merged-interval union a span remover would cut).
+   *
+   * Scale: the span explode is linear in corpus tokens (k-bounded strings;
+   * production keys the shuffle on xxhash64(span) — here the raw string,
+   * which the DuckDB oracle shares). Two shuffles: the span-count groupBy
+   * (map-side partial agg absorbs hot boilerplate spans) and the per-doc
+   * aggregate. The dup-occurrence equi-join is span-keyed; a mega-hot
+   * boilerplate span makes one key hot — cap it like minhashCandidates'
+   * maxBucket or salt via graft.pipeline.Skew. The coverage explode is
+   * bounded by k x occurrences.
+   */
+  def spanDupStats(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val sp = spanTable(docs, idCol, textCol, k)
+    val dup = sp.groupBy(col("span")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2).select(col("span"))
+    val dupOcc = sp.join(dup, Seq("span"))
+    val perDoc = dupOcc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_spans"))
+    val cov = dupOcc
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_cov"))
+    val toks = graft.sources.Derived.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), size(toks).as("n_tokens"),
+        greatest(size(toks) - (k - 1), lit(0)).cast("long").as("n_spans"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_spans"), coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_cov"), lit(0L)).as("dup_cov"))
+  }
+
+  /**
+   * Benchmark decontamination — the GPT-3/PaLM-style n-gram overlap filter:
+   * a training document is CONTAMINATED iff it shares any k-token span with
+   * any benchmark document. Output, one row per training doc:
+   *   (doc_id, n_hits, contaminated)
+   * with n_hits = the number of DISTINCT benchmark-overlapping spans.
+   *
+   * Scale: the benchmark side (an eval suite — MBs, not TBs) reduces to a
+   * distinct span set and is broadcast, so training spans never shuffle for
+   * the join; the only shuffle is the per-doc countDistinct (partial agg).
+   */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, k: Int): DataFrame = {
+    val trainSp = spanTable(train, idCol, textCol, k).select(col("doc_id"), col("span"))
+    val benchSp = spanTable(bench, idCol, textCol, k).select(col("span")).distinct()
+    val hits = trainSp.join(broadcast(benchSp), Seq("span"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("span")).as("n_hits"))
+    train.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** SimHash 64-bit signature per doc over its token multiset. Token hash =
    *  xxhash64 (Spark built-in, codegen); bit b contributes ±1 by hash bit. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -38,6 +38,64 @@ object DedupStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("text")
 
+  /**
+   * Streaming benchmark decontamination — the live half of
+   * [[graft.ml.Dedup.decontaminate]], the crawl shape: documents stream in,
+   * the eval-suite span set is STATIC, and every (doc_id, span) benchmark
+   * overlap is emitted as a contamination event. Fully STATELESS: the
+   * per-row span explode is map-side (array_distinct inside the row stands
+   * in for the batch countDistinct — no cross-microbatch state), and the
+   * stream-static inner join broadcasts the bench spans exactly as the
+   * batch operator does. Per-doc hit counts / drop decisions are a
+   * downstream batch aggregation over the event log, so the stream never
+   * holds doc state.
+   *
+   * `stream` carries (doc_id, text); `bench` is a static (doc_id, text)
+   * table. Output: (doc_id, span), one row per distinct overlapping span.
+   */
+  def decontaminateStream(stream: DataFrame, bench: DataFrame, k: Int): DataFrame = {
+    val benchSp = graft.ml.Dedup.spanTable(bench, "doc_id", "text", k)
+      .select(col("span")).distinct()
+    stream
+      .select(col("doc_id"), explode(array_distinct(
+        graft.ml.Dedup.spans(graft.sources.Derived.tokens(col("text")), k))).as("span"))
+      .join(broadcast(benchSp), Seq("span"))
+      .select(col("doc_id"), col("span"))
+  }
+
+  /** Drive a batch doc table through [[decontaminateStream]] synchronously
+   *  (memory sink, AvailableNow) — test/parity harness. */
+  def runDecontamBatchAsStream(spark: SparkSession, docs: DataFrame,
+                               bench: DataFrame, k: Int,
+                               queryName: String = "decontam_stream"): DataFrame = {
+    val dirPath = java.nio.file.Files.createTempDirectory("decontam_stream_src")
+    val dir = dirPath.toString
+    try {
+      docs.select("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .parquet(dir)
+      val q = decontaminateStream(stream, bench, k)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sink = spark.table(queryName)
+      val rows = sink.collect().toSeq
+      val out = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, math.max(1, rows.size / 4096 + 1)),
+        sink.schema)
+      spark.catalog.dropTempView(queryName)
+      out
+    } finally {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(dirPath))
+        java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** Drive a batch table through the streaming dedup synchronously (memory
    *  sink, AvailableNow) — test/parity harness, same pattern as
    *  [[TileStream.runBatchAsStream]]. */

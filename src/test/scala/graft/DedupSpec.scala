@@ -168,4 +168,58 @@ class DedupSpec extends AnyFunSuite {
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("spanDupStats: within-doc repeats, cross-doc shares, overlap-merged coverage") {
+    val d = Seq(
+      // "a b c" occurs twice within doc 1 (pos 0 and pos 3): both occurrences
+      // dup; coverage = positions {0,1,2,3,4,5} = 6
+      (1L, "a b c a b c"),
+      // shares "x y z" with doc 3; overlapping dup spans "x y z" (pos 0) and
+      // "y z w" (absent from 3) -> only pos-0 span dup; coverage = {0,1,2}
+      (2L, "x y z w q"),
+      (3L, "p p x y z"),
+      // shorter than k: zero spans
+      (4L, "one two")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDupStats(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((6L, 4L, 2L, 6L))) // spans at 0..3; pos0+pos3 dup; full cover
+    assert(out(2L) == ((5L, 3L, 1L, 3L)))
+    assert(out(3L) == ((5L, 3L, 1L, 3L))) // "x y z" at pos 2 -> cover {2,3,4}
+    assert(out(4L) == ((2L, 0L, 0L, 0L)))
+  }
+
+  test("spanDupStats: merged-interval coverage never double-counts overlaps") {
+    // "a b c d a b c d" (8 tokens, k=3): spans at 0..5; "a b c"(0,4) and
+    // "b c d"(1,5) dup -> 4 dup occurrences covering {0..3} u {4..7} = 8
+    val d = Seq((1L, "a b c d a b c d")).toDF("doc_id", "text")
+    val r = Dedup.spanDupStats(d, "doc_id", "text", 3).head()
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((6L, 4L, 8L)))
+  }
+
+  test("decontaminate: overlap with the bench set flags; hits count distinct spans") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"), // shares "the quick brown" + "quick brown fox" + "brown fox jumps"
+      (2L, "entirely novel training text here"),
+      (3L, "lazy dog sleeps all day") // shares "lazy dog sleeps"
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps high"),
+      (101L, "a lazy dog sleeps")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((3L, true)))
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((1L, true)))
+  }
+
+  test("decontaminate: bench side is broadcast (no shuffle on the span join)") {
+    val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val bench = Seq((2L, "c d e f")).toDF("doc_id", "text")
+    val plan = Dedup.decontaminate(train, bench, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
 }

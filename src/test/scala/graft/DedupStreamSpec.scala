@@ -40,4 +40,39 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(Set(3L, 5L).contains(reps("gamma delta")))
     assert(reps("epsilon") == 4L)
   }
+
+  test("streaming decontamination: events match batch n_hits and the plan is stateless") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "entirely novel training text here"),
+      (3L, "lazy dog sleeps all day"),
+      (4L, "lazy dog sleeps lazy dog sleeps") // within-doc repeat: ONE event
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps high"),
+      (101L, "a lazy dog sleeps")
+    ).toDF("doc_id", "text")
+
+    val events = DedupStream.runDecontamBatchAsStream(spark, train, bench, k = 3,
+      queryName = "decontam_stream_spec")
+    // event set is per-(doc, span) distinct even for within-doc repeats
+    assert(events.count() == events.distinct().count())
+    // per-doc event counts equal the batch operator's n_hits
+    val streamHits = events.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    val batchHits = graft.ml.Dedup.decontaminate(train, bench, "doc_id", "text", 3)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(batchHits.filter(_._2 > 0) == streamHits)
+    // stateless: no aggregation / dedup state operator in the stream plan
+    val empty = java.nio.file.Files.createTempDirectory("decontam_plan").toString
+    val plan = DedupStream.decontaminateStream(
+        spark.readStream.schema(train.schema).parquet(empty), bench, 3)
+      .queryExecution.logical.toString
+    assert(!plan.contains("DeduplicateWithinWatermark"))
+    assert(!plan.contains("EventTimeWatermark"))
+    assert(!plan.contains("Aggregate"))
+    // exactly ONE Deduplicate — the bench-side distinct on the STATIC
+    // subtree; the streaming subtree is pure project/explode/join
+    assert(plan.sliding("Deduplicate".length).count(_ == "Deduplicate") == 1)
+  }
 }
