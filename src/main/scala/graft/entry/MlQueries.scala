@@ -90,6 +90,14 @@ object MlQueries {
       Dedup.spanDupStats(docs(s, dir), "doc_id", "text", SpanK)
         .orderBy(col("doc_id"))),
 
+    // D8b: the CUT stage of ExactSubstr dedup — keep each duplicated span's
+    // globally-first occurrence, cut every position covered by a non-kept
+    // duplicated occurrence, rebuild the text from surviving tokens.
+    // Byte-identical text oracle (the x8_redact discipline).
+    "d8b_span_cut" -> ((s, dir) =>
+      Dedup.spanRemove(docs(s, dir), "doc_id", "text", SpanK)
+        .orderBy(col("doc_id"))),
+
     // D9: benchmark decontamination (GPT-3/PaLM-style n-gram overlap): the
     // doc_id % 17 == 0 cut plays the eval suite; every other doc is flagged
     // with its count of distinct overlapping k-token spans. The benchmark
@@ -807,6 +815,31 @@ object MlQueries {
          |  COALESCE(ds, 0) AS dup_spans, COALESCE(dc, 0) AS dup_cov
          |FROM toks t LEFT JOIN perdoc USING(doc_id) LEFT JOIN cov USING(doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // the cut stage: keeper = min(doc_id*2^20+pos) per duplicated span,
+    // positions covered by non-kept occurrences cut, text re-assembled
+    // position-ordered — byte-identical cross-engine
+    "d8b_span_cut" -> {
+      val enc = 1L << Dedup.SpanPosBits
+      s"""WITH toks AS (SELECT doc_id, ${T("text")} AS ts FROM documents),
+         |sp AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |    array_to_string(ts[CAST(i+1 AS INTEGER):CAST(i+$SpanK AS INTEGER)], ' ') AS span
+         |  FROM toks, LATERAL (SELECT unnest(range(greatest(len(ts) - ${SpanK - 1}, 0))) AS i) u),
+         |dup AS (SELECT span, MIN(doc_id * $enc + pos) AS keep_key
+         |  FROM sp GROUP BY span HAVING COUNT(*) >= 2),
+         |cutpos AS (SELECT DISTINCT s.doc_id, s.pos + j AS p
+         |  FROM sp s JOIN dup USING(span), (SELECT unnest(range($SpanK)) AS j) w
+         |  WHERE s.doc_id * $enc + s.pos <> dup.keep_key),
+         |dt AS (SELECT doc_id, unnest(range(len(ts))) AS p, unnest(ts) AS term FROM toks),
+         |kept AS (SELECT dt.doc_id, dt.p, dt.term FROM dt
+         |  LEFT JOIN cutpos c ON dt.doc_id = c.doc_id AND dt.p = c.p
+         |  WHERE c.doc_id IS NULL),
+         |reb AS (SELECT doc_id, string_agg(term, ' ' ORDER BY p) AS text_dedup,
+         |    COUNT(*) AS nk FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, COALESCE(text_dedup, '') AS text_dedup,
+         |  CAST(len(ts) - COALESCE(nk, 0) AS BIGINT) AS n_cut
+         |FROM toks t LEFT JOIN reb USING(doc_id) ORDER BY t.doc_id""".stripMargin
+    },
 
     // decontamination: distinct benchmark spans (the % 17 == 0 cut), count
     // of distinct overlapping spans per training doc

@@ -273,6 +273,48 @@ object Dedup {
         coalesce(col("dup_cov"), lit(0L)).as("dup_cov"))
   }
 
+  /** Max tokens per document assumed by [[spanRemove]]'s keeper encoding
+   *  (doc_id * 2^20 + pos must be collision-free and order-preserving). */
+  val SpanPosBits = 20
+
+  /**
+   * Exact substring-span REMOVAL — the cut stage of ExactSubstr dedup
+   * (Lee et al. 2022): for every duplicated k-token span, the globally
+   * FIRST occurrence (min (doc_id, pos), encoded as doc_id*2^20+pos — docs
+   * are bounded at 2^20 tokens) is kept; every token position covered by a
+   * NON-kept duplicated occurrence is cut, and the per-doc text is rebuilt
+   * from the surviving tokens in order. Output, one row per input doc:
+   *   (doc_id, text_dedup, n_cut)
+   *
+   * Scale: the same two span shuffles as [[spanDupStats]] plus the per-doc
+   * token re-assembly groupBy — its collect_list is bounded by document
+   * length, the floor any per-document text transform pays. The rebuilt
+   * text is deterministic (positions sorted), so the operator is exactly
+   * reproducible cross-engine.
+   */
+  def spanRemove(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val enc = lit(1L << SpanPosBits)
+    val sp = spanTable(docs, idCol, textCol, k)
+    val dup = sp.groupBy(col("span"))
+      .agg(count(lit(1)).as("n_occ"), min(col("doc_id") * enc + col("pos")).as("keep_key"))
+      .filter(col("n_occ") >= 2).select(col("span"), col("keep_key"))
+    val cut = sp.join(dup, Seq("span"))
+      .filter(col("doc_id") * enc + col("pos") =!= col("keep_key"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+    val toks = graft.sources.Derived.tokens(col(textCol))
+    val dt = docs.select(col(idCol).as("doc_id"), posexplode(toks).as(Seq("p", "term")))
+    val rebuilt = dt.join(cut, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", transform(array_sort(collect_list(struct(col("p"), col("term")))),
+        s => s.getField("term"))).as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).as("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut"))
+  }
+
   /**
    * Benchmark decontamination — the GPT-3/PaLM-style n-gram overlap filter:
    * a training document is CONTAMINATED iff it shares any k-token span with

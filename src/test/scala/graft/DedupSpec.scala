@@ -198,6 +198,21 @@ class DedupSpec extends AnyFunSuite {
     assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((6L, 4L, 8L)))
   }
 
+  test("spanRemove: keeps the globally-first occurrence, cuts the rest, rebuilds text") {
+    val d = Seq(
+      (1L, "a b c a b c"),  // within-doc dup: keeper (1,0), cut {3,4,5}
+      (2L, "x y z w"),      // cross-doc keeper of "x y z"
+      (3L, "x y z q"),      // non-kept occurrence: cut {0,1,2}
+      (4L, "hi")            // shorter than k: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanRemove(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("a b c", 3L)))
+    assert(out(2L) == (("x y z w", 0L)))
+    assert(out(3L) == (("q", 3L)))
+    assert(out(4L) == (("hi", 0L)))
+  }
+
   test("decontaminate: overlap with the bench set flags; hits count distinct spans") {
     val train = Seq(
       (1L, "the quick brown fox jumps"), // shares "the quick brown" + "quick brown fox" + "brown fox jumps"
