@@ -127,6 +127,22 @@ object MlQueries {
           hamMax = 3, maxBucket = None, lossyTol = 0)
         .orderBy(col("thumb_id"), col("image_id"))),
 
+    // X11: composed decontaminate -> span-cut chain — the two new stages as
+    // a real pipeline, not a join of query outputs: training docs sharing
+    // any eval-suite k-gram are DROPPED, then ExactSubstr span removal runs
+    // over the SURVIVOR set (dup spans recounted post-drop). Byte-identical
+    // text oracle end to end.
+    "x11_decontam_cut" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val train = d.filter(col("doc_id") % DecontamMod =!= 0)
+      val bench = d.filter(col("doc_id") % DecontamMod === 0)
+      val cleanIds = Dedup.decontaminate(train, bench, "doc_id", "text", DecontamK)
+        .filter(!col("contaminated")).select(col("doc_id"))
+      val survivors = train.join(cleanIds, Seq("doc_id"), "left_semi")
+      Dedup.spanRemove(survivors, "doc_id", "text", SpanK)
+        .orderBy(col("doc_id"))
+    }),
+
     // E1: exact brute-force cosine top-k vs the vec_id=1 embedding
     "e1_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -854,6 +870,39 @@ object MlQueries {
          |SELECT d.doc_id, COALESCE(nh, 0) AS n_hits, COALESCE(nh, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN hits USING(doc_id)
          |WHERE d.doc_id % $DecontamMod != 0 ORDER BY d.doc_id""".stripMargin,
+
+    // composed chain: d9's contamination drop, then d8b's span cut with dup
+    // spans recounted over the survivor set only
+    "x11_decontam_cut" -> {
+      val enc = 1L << Dedup.SpanPosBits
+      s"""WITH toks0 AS (SELECT doc_id, ${T("text")} AS ts FROM documents),
+         |spd AS (SELECT doc_id,
+         |    array_to_string(ts[CAST(i+1 AS INTEGER):CAST(i+$DecontamK AS INTEGER)], ' ') AS span
+         |  FROM toks0, LATERAL (SELECT unnest(range(greatest(len(ts) - ${DecontamK - 1}, 0))) AS i) u),
+         |bench AS (SELECT DISTINCT span FROM spd WHERE doc_id % $DecontamMod = 0),
+         |contam AS (SELECT DISTINCT s.doc_id FROM spd s JOIN bench USING(span)
+         |  WHERE s.doc_id % $DecontamMod != 0),
+         |surv AS (SELECT doc_id, ts FROM toks0
+         |  WHERE doc_id % $DecontamMod != 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |sp AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |    array_to_string(ts[CAST(i+1 AS INTEGER):CAST(i+$SpanK AS INTEGER)], ' ') AS span
+         |  FROM surv, LATERAL (SELECT unnest(range(greatest(len(ts) - ${SpanK - 1}, 0))) AS i) u),
+         |dup AS (SELECT span, MIN(doc_id * $enc + pos) AS keep_key
+         |  FROM sp GROUP BY span HAVING COUNT(*) >= 2),
+         |cutpos AS (SELECT DISTINCT s.doc_id, s.pos + j AS p
+         |  FROM sp s JOIN dup USING(span), (SELECT unnest(range($SpanK)) AS j) w
+         |  WHERE s.doc_id * $enc + s.pos <> dup.keep_key),
+         |dt AS (SELECT doc_id, unnest(range(len(ts))) AS p, unnest(ts) AS term FROM surv),
+         |kept AS (SELECT dt.doc_id, dt.p, dt.term FROM dt
+         |  LEFT JOIN cutpos c ON dt.doc_id = c.doc_id AND dt.p = c.p
+         |  WHERE c.doc_id IS NULL),
+         |reb AS (SELECT doc_id, string_agg(term, ' ' ORDER BY p) AS text_dedup,
+         |    COUNT(*) AS nk FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, COALESCE(text_dedup, '') AS text_dedup,
+         |  CAST(len(ts) - COALESCE(nk, 0) AS BIGINT) AS n_cut
+         |FROM surv t LEFT JOIN reb USING(doc_id) ORDER BY t.doc_id""".stripMargin
+    },
 
     // embedding near-dup clusters: recursive-CTE transitive closure (the
     // d6/g7 oracle pattern) over the SAME pair set e4 derives in SQL

@@ -230,6 +230,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, true)))
   }
 
+  test("decontam -> span-cut chain recounts dup spans over survivors only") {
+    val train = Seq(
+      (1L, "a b c x y z"),          // shares "a b c" with bench -> dropped
+      (2L, "x y z q q"),            // shares "x y z" only with the DROPPED doc 1
+      (3L, "totally different stuff here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    // without the drop, doc 2's "x y z" is duplicated (doc 1 holds the keeper)
+    val uncut = Dedup.spanRemove(train, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uncut(2L) == 3L)
+    // the chain: doc 1 dropped first, so doc 2's span is unique among survivors
+    val cleanIds = Dedup.decontaminate(train, bench, "doc_id", "text", 3)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    val out = Dedup.spanRemove(train.join(cleanIds, Seq("doc_id"), "left_semi"),
+        "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(2L, 3L))
+    assert(out(2L) == (("x y z q q", 0L)))
+    assert(out(3L) == (("totally different stuff here", 0L)))
+  }
+
   test("decontaminate: bench side is broadcast (no shuffle on the span join)") {
     val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val bench = Seq((2L, "c d e f")).toDF("doc_id", "text")
