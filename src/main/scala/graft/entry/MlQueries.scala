@@ -138,7 +138,12 @@ object MlQueries {
       val bench = d.filter(col("doc_id") % DecontamMod === 0)
       val cleanIds = Dedup.decontaminate(train, bench, "doc_id", "text", DecontamK)
         .filter(!col("contaminated")).select(col("doc_id"))
+      // spanRemove scans its input three times (span table, token table,
+      // final doc join) — materialize the survivor set once so the whole
+      // decontamination subtree isn't recomputed per scan (the
+      // Curation.filterStage barrier pattern; measured 6.4 s -> ~1 s sf0.1)
       val survivors = train.join(cleanIds, Seq("doc_id"), "left_semi")
+        .localCheckpoint(eager = true)
       Dedup.spanRemove(survivors, "doc_id", "text", SpanK)
         .orderBy(col("doc_id"))
     }),

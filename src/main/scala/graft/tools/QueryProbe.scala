@@ -20,7 +20,10 @@ object QueryProbe {
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- names; rep <- 1 to 3) {
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      // toRdd.count() evaluates the FULL physical plan — .count() lets
+      // Catalyst prune key-unique outer joins and under-times any query
+      // whose expensive work feeds only pruned branches
+      val n = graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       println(f"QPROBE $name%-20s rep$rep ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
     }
     spark.stop()
