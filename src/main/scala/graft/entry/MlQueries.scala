@@ -27,6 +27,11 @@ object MlQueries {
   val DecontamK = 4
   /** d9 benchmark cut: doc_id % 17 == 0 plays the eval suite. */
   val DecontamMod = 17
+  /** e7 PQ shape: 8 subspaces x 16 centroids over dim 64, 2 Lloyd rounds
+   *  (fixed, so the oracle can unroll them). */
+  val PqNsub = 8
+  val PqKsub = 16
+  val PqIters = 2
   val CosinePairBits = 8
   /** x7 training-mix rates: downsample the dominant language, keep most of
    *  the rest, near-drop unidentified text. */
@@ -180,6 +185,27 @@ object MlQueries {
       Ann.cosinePairs(Ann.lshBuckets(e, "vec_id", "embedding", CosinePairBits, dim),
           CosinePairThreshold)
         .orderBy(col("id1"), col("id2"))
+    }),
+
+    // E7: product quantization (PQ) + asymmetric-distance (ADC) scoring —
+    // the classic memory-bound ANN index (8 subspaces x 16 centroids over
+    // the 64-dim corpus, 2 Lloyd iterations). Deterministic seeds (portable
+    // integer rank hash) + a FIXED iteration count make the whole k-means
+    // training run SQL-re-derivable: the oracle unrolls both Lloyd rounds
+    // as CTEs and re-derives every code and every ADC distance. Per-vector
+    // output: positional code checksum (value-checks all 8 codes) + adc6.
+    "e7_pq_adc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 1)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val cents = Ann.pqCentroids(e, "vec_id", "embedding", PqNsub, PqKsub, PqIters)
+      Ann.pqAdc(Ann.pqAssign(e, "vec_id", "embedding", cents), cents, q)
+        .select(col("vec_id"),
+          aggregate(zip_with(col("codes"),
+              sequence(lit(1), size(col("codes"))), (c, i) => c * i),
+            lit(0L), (a, x) => a + x).as("chk"),
+          Derived.q6(col("adc")).as("adc6"))
+        .orderBy(col("vec_id"))
     }),
 
     // E6: embedding near-dup CLUSTERS — the clustering step after e4's
@@ -461,6 +487,57 @@ object MlQueries {
   private def minhashSql: String =
     s"""WITH $minhashPairCtes
        |SELECT id1, id2 FROM pairs ORDER BY id1, id2""".stripMargin
+
+  /**
+   * DuckDB twin of [[Ann.pqCentroids]] + [[Ann.pqAssign]] + [[Ann.pqAdc]]:
+   * the fixed-iteration k-means training run UNROLLED — seeds by the
+   * portable rank hash, then per round: distance join (sv x centroids),
+   * argmin assignment (row_number ties to the smallest centroid index,
+   * matching the Spark UDF's strict `<`), per-(s, ci, ld) means, and the
+   * empty-cluster COALESCE keep rule. Codes are a final assignment against
+   * the round-[[PqIters]] codebook; ADC re-derives the query lut. The
+   * smallest cross-engine-sensitive margin (best-vs-second-best assignment
+   * distance and adc6 rounding boundary) is orders above double-summation
+   * noise — verified by the gate on every run.
+   */
+  private def pqOracleSql: String = {
+    val sub = 64 / PqNsub
+    // d$i/a$i: distance join + argmin assignment against codebook `prev`
+    def assign(i: Int, prev: String): String =
+      s"""d$i AS (SELECT sv.vec_id, sv.s, c.ci, SUM((sv.x - c.x)*(sv.x - c.x)) AS dist
+         |  FROM sv JOIN $prev c ON sv.s = c.s AND sv.ld = c.ld GROUP BY 1, 2, 3),
+         |a$i AS (SELECT vec_id, s, ci FROM (SELECT vec_id, s, ci,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, ci) AS rn FROM d$i) t$i
+         |  WHERE rn = 1)""".stripMargin
+    // m$i/c$i: per-(s, ci, ld) means + the empty-cluster keep rule
+    def update(i: Int, prev: String): String =
+      s"""m$i AS (SELECT a.s, a.ci, sv.ld, AVG(sv.x) AS x
+         |  FROM a$i a JOIN sv ON sv.vec_id = a.vec_id AND sv.s = a.s GROUP BY 1, 2, 3),
+         |c$i AS (SELECT c.s, c.ci, c.ld, COALESCE(m.x, c.x) AS x
+         |  FROM $prev c LEFT JOIN m$i m ON m.s = c.s AND m.ci = c.ci AND m.ld = c.ld)""".stripMargin
+    val rounds = (1 to PqIters)
+      .map(i => assign(i, s"c${i - 1}") + ",\n" + update(i, s"c${i - 1}"))
+      .mkString(",\n")
+    val fin = PqIters + 1
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sv AS (SELECT vec_id, CAST(d // $sub AS INTEGER) AS s, CAST(d % $sub AS INTEGER) AS ld,
+       |    v[CAST(d AS INTEGER) + 1] AS x
+       |  FROM e, (SELECT unnest(range(64)) AS d) dd),
+       |ord AS (SELECT vec_id,
+       |    row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1 AS rk
+       |  FROM e),
+       |c0 AS (SELECT sv.s, CAST(o.rk AS INTEGER) AS ci, sv.ld, sv.x
+       |  FROM sv JOIN ord o USING (vec_id) WHERE o.rk < $PqKsub),
+       |$rounds,
+       |${assign(fin, s"c$PqIters")},
+       |qsv AS (SELECT s, ld, x FROM sv WHERE vec_id = 1),
+       |lut AS (SELECT c.s, c.ci, SUM((q.x - c.x)*(q.x - c.x)) AS dist
+       |  FROM c$PqIters c JOIN qsv q ON q.s = c.s AND q.ld = c.ld GROUP BY 1, 2),
+       |adc AS (SELECT a.vec_id, SUM(l.dist) AS adc
+       |  FROM a$fin a JOIN lut l ON l.s = a.s AND l.ci = a.ci GROUP BY 1),
+       |chk AS (SELECT vec_id, CAST(SUM((s + 1) * ci) AS BIGINT) AS chk
+       |  FROM a$fin GROUP BY 1)""".stripMargin
+  }
 
   /** DuckDB twin of [[Ann.lshSignature]]: hyperplane h(j,d) =
    *  ((j*73856093 + d*19349663 + 83492791) % 2000001)/1e6 - 1 (pure integer
@@ -908,6 +985,13 @@ object MlQueries {
          |  CAST(len(ts) - COALESCE(nk, 0) AS BIGINT) AS n_cut
          |FROM surv t LEFT JOIN reb USING(doc_id) ORDER BY t.doc_id""".stripMargin
     },
+
+    // PQ: the unrolled k-means training run (see pqOracleSql) — every code
+    // and every ADC distance re-derived
+    "e7_pq_adc" ->
+      s"""WITH $pqOracleSql
+         |SELECT chk.vec_id, chk.chk, ${Derived.q6Sql("adc.adc")} AS adc6
+         |FROM chk JOIN adc USING (vec_id) ORDER BY vec_id""".stripMargin,
 
     // embedding near-dup clusters: recursive-CTE transitive closure (the
     // d6/g7 oracle pattern) over the SAME pair set e4 derives in SQL

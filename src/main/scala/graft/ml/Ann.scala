@@ -208,6 +208,105 @@ object Ann {
             .cast("long")).as("code"))
   }
 
+  // ---- product quantization (PQ) --------------------------------------------
+
+  /** Cross-engine deterministic seed-rank hash (Knuth multiplicative) —
+   *  reproducible in DuckDB as `(vec_id * 2654435761) % 4294967296`.
+   *  [[ivfCentroids]] keeps xxhash64 (no oracle needs its seeds); PQ's
+   *  oracle re-derives the centroids, so the seed order must be portable. */
+  def seedRank(c: Column): Column = pmod(c * lit(2654435761L), lit(4294967296L))
+
+  /**
+   * PQ codebooks: the vector is split into `nsub` contiguous subspaces and
+   * each gets its own `ksub`-centroid k-means — deterministic seeds (the
+   * `ksub` rows with the smallest (seedRank, id), subvector s of seed c is
+   * centroid (s, c)) plus a FIXED number of Lloyd iterations, so the whole
+   * training run is re-derivable by unrolling `iters` assign/mean rounds in
+   * SQL. Assignment ties break to the smallest centroid index; an empty
+   * cluster keeps its previous centroid (both rules mirrored in the
+   * oracle). Returns [nsub][ksub][subdim].
+   *
+   * Scale: one broadcast-argmin assignment pass + one (s, code, dim-slot)
+   * aggregation per iteration; only nsub x ksub x subdim doubles (= dim x
+   * ksub) ever reach the driver.
+   */
+  def pqCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                  nsub: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val base = embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("vec"))
+    val dim = base.select(size(col("vec"))).head().getInt(0)
+    require(dim % nsub == 0, s"dim $dim not divisible into $nsub subspaces")
+    val subdim = dim / nsub
+    val seeds = base.orderBy(seedRank(col("vec_id")), col("vec_id"))
+      .limit(ksub).collect().map(_.getSeq[Double](1))
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(nsub, ksub) { (s, c) =>
+      seeds(c).slice(s * subdim, (s + 1) * subdim).toArray }
+    for (_ <- 1 to iters) {
+      val means = pqAssign(base, "vec_id", "vec", cents)
+        .select(col("codes"), posexplode(col("vec")).as(Seq("d", "x")))
+        .withColumn("s", (col("d") / subdim).cast("int"))
+        .select(col("s"), element_at(col("codes"), col("s") + 1).as("ci"),
+          (col("d") % subdim).as("ld"), col("x"))
+        .groupBy(col("s"), col("ci"), col("ld")).agg(avg(col("x")).as("m"))
+        .collect()
+      val next = Array.tabulate(nsub, ksub)((s, c) => cents(s)(c).clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      cents = next // clusters with no mean row keep their previous centroid
+    }
+    cents
+  }
+
+  /** Assign each vector its nsub PQ codes (per-subspace L2 argmin over the
+   *  broadcast codebook; ties keep the smallest centroid index).
+   *  Output: input columns renamed (vec_id, vec) plus codes: array<int>. */
+  def pqAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+               cents: Array[Array[Array[Double]]]): DataFrame = {
+    val bc = embeddings.sparkSession.sparkContext.broadcast(cents)
+    val assign = udf((v: Seq[Double]) => {
+      val cs = bc.value
+      val subdim = cs(0)(0).length
+      Array.tabulate(cs.length) { s =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cs(s).length) {
+          var d = 0.0; var j = 0
+          while (j < subdim) { val t = v(s * subdim + j) - cs(s)(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        best
+      }
+    })
+    embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("codes", assign(col("vec")))
+  }
+
+  /**
+   * Asymmetric-distance (ADC) scoring: the query is NOT quantized — its
+   * exact L2² to every codebook centroid is a tiny nsub x ksub lookup
+   * table, and a vector's approximate distance is the sum of its codes'
+   * lut entries. Output: (vec_id, codes, adc). At query time this touches
+   * only the codes table (dim/subdim ints per vector, 4x-32x smaller than
+   * the raw vectors) — the memory-bound ANN serving path PQ exists for.
+   */
+  def pqAdc(assigned: DataFrame, cents: Array[Array[Array[Double]]],
+            query: Seq[Double]): DataFrame = {
+    val lut: Array[Array[Double]] = Array.tabulate(cents.length, cents(0).length) { (s, c) =>
+      val subdim = cents(0)(0).length
+      var d = 0.0; var j = 0
+      while (j < subdim) { val t = query(s * subdim + j) - cents(s)(c)(j); d += t * t; j += 1 }
+      d
+    }
+    val bc = assigned.sparkSession.sparkContext.broadcast(lut)
+    val adc = udf((codes: Seq[Int]) => {
+      val l = bc.value
+      var d = 0.0; var s = 0
+      while (s < codes.length) { d += l(s)(codes(s)); s += 1 }
+      d
+    })
+    assigned.withColumn("adc", adc(col("codes")))
+  }
+
   /** Near-duplicate pairs by cosine >= threshold, LSH-bucketed self-join
    *  (exact within a bucket; recall governed by nBits). */
   def cosinePairs(bucketed: DataFrame, threshold: Double): DataFrame = {
