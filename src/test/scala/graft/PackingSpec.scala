@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ml.Packing
+
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic ragged token counts, ids deliberately unsorted on input
+  lazy val docs = (0L until 997L).map(i => (i * 37 % 997, 1L + (i * i) % 113))
+    .toDF("id", "toks")
+
+  private def naive = {
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("off", sum(col("toks")).over(w) - col("toks"))
+      .withColumn("shard", expr("off div 100"))
+      .select(col("id"), col("toks"), col("off"), col("shard"))
+  }
+
+  test("distributed prefix sum equals the single-partition global window") {
+    val expected = naive.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = Packing.tokenBudgetShards(docs, "id", "toks", 100L, 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+  }
+
+  test("result is partition-count invariant") {
+    val a = Packing.tokenBudgetShards(docs, "id", "toks", 100L, 1)
+      .orderBy("id").collect().toSeq
+    val b = Packing.tokenBudgetShards(docs, "id", "toks", 100L, 3)
+      .orderBy("id").collect().toSeq
+    val c = Packing.tokenBudgetShards(docs, "id", "toks", 100L, 32)
+      .orderBy("id").collect().toSeq
+    assert(a == b && b == c)
+  }
+
+  test("no SinglePartition exchange in the distributed plan (naive has one)") {
+    val dist = Packing.tokenBudgetShards(docs, "id", "toks", 100L, 8)
+      .queryExecution.executedPlan.toString
+    assert(!dist.contains("SinglePartition"), s"global bottleneck:\n$dist")
+    assert(naive.queryExecution.executedPlan.toString.contains("SinglePartition"))
+  }
+
+  test("shards respect the start-offset ownership rule") {
+    val rows = Packing.tokenBudgetShards(docs, "id", "toks", 100L, 8).collect()
+    rows.foreach { r =>
+      val (off, shard) = (r.getLong(2), r.getLong(3))
+      assert(shard == off / 100L)
+    }
+    // offsets are a permutation-free exact prefix: sorted by id, each off is
+    // the previous off + previous toks
+    val sorted = rows.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach {
+      case Array(p, n) =>
+        assert(n.getLong(2) == p.getLong(2) + p.getLong(1))
+      case _ =>
+    }
+    assert(sorted.head.getLong(2) == 0L)
+  }
+}
