@@ -3,7 +3,7 @@ package graft.entry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ml.{Ann, Dedup, Sampling, TextStats}
+import graft.ml.{Ann, Bpe, Dedup, Packing, Sampling, TextStats}
 import graft.sources.Derived
 import graft.images.{Audio, Images, Video}
 
@@ -32,6 +32,10 @@ object MlQueries {
   val PqNsub = 8
   val PqKsub = 16
   val PqIters = 2
+  /** e8 IVF-PQ coarse shape: 4 lists, 2 Lloyd rounds (fixed → SQL-unrollable
+   *  like the fine codebook). */
+  val IvfPqNlist = 4
+  val IvfPqCoarseIters = 2
   val CosinePairBits = 8
   /** x7 training-mix rates: downsample the dominant language, keep most of
    *  the rest, near-drop unidentified text. */
@@ -39,6 +43,14 @@ object MlQueries {
     Map("en" -> 0.5, "de" -> 0.8, "fr" -> 0.8, "es" -> 0.8)
   val SampleDefaultRate = 0.1
   val SampleSalt = "mix1"
+  /** x12: tokens per training shard — ~10 docs/shard at the corpus's ~54
+   *  tokens/doc, so boundaries land mid-stream and the off/shard math is
+   *  exercised on every row. */
+  val PackBudget = 512L
+  /** b1/b2: BPE merge rounds — enough to chain merges (later merges consume
+   *  earlier merge outputs as single symbols) while keeping the unrolled
+   *  SQL oracle readable. */
+  val BpeRounds = 6
   /** Nearest observed pair-cosine is 8e-4 (sf0.01) / 5.9e-7 (sf0.1) from
    *  this cut, and the nearest cos6 rounding boundary is 2.7e-10 away in
    *  cos units — both orders beyond cross-engine float-summation noise
@@ -201,6 +213,28 @@ object MlQueries {
       val cents = Ann.pqCentroids(e, "vec_id", "embedding", PqNsub, PqKsub, PqIters)
       Ann.pqAdc(Ann.pqAssign(e, "vec_id", "embedding", cents), cents, q)
         .select(col("vec_id"),
+          aggregate(zip_with(col("codes"),
+              sequence(lit(1), size(col("codes"))), (c, i) => c * i),
+            lit(0L), (a, x) => a + x).as("chk"),
+          Derived.q6(col("adc")).as("adc6"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // E8: IVF-PQ — the composed Faiss-style ANN index: coarse quantizer
+    // (4 lists), residual product quantization (8×16), asymmetric-distance
+    // scoring with a PER-LIST query lut. Full probe makes the whole
+    // two-level training run + every code + every ADC deterministic; the
+    // oracle unrolls BOTH k-means levels (the coarse one is PQ with a
+    // single whole-vector subspace). Partial-probe recall and the
+    // residual-vs-flat quantization-error win are AnnSpec territory.
+    "e8_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 1)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val (index, coarse, fine) = Ann.ivfPqIndex(e, "vec_id", "embedding",
+        IvfPqNlist, IvfPqCoarseIters, PqNsub, PqKsub, PqIters)
+      Ann.ivfPqAdc(index, coarse, fine, q, 0 until IvfPqNlist)
+        .select(col("vec_id"), col("list"),
           aggregate(zip_with(col("codes"),
               sequence(lit(1), size(col("codes"))), (c, i) => c * i),
             lit(0L), (a, x) => a + x).as("chk"),
@@ -441,7 +475,44 @@ object MlQueries {
     "f23_video_motion" -> ((s, dir) =>
       Video.motion(
           Video.videoTable(s, dir).filter(col("fmt") === "avi-mpng"))
-        .orderBy(col("video_id")))
+        .orderBy(col("video_id"))),
+
+    // X12: token-budget shard packing — the global running-offset scan as a
+    // distributed two-pass prefix sum (range partition -> per-partition
+    // totals -> parallel local windows + driver prefix). The DuckDB oracle
+    // computes the SAME offsets with a single-threaded global window; the
+    // distributed plan must agree on every row. PackingSpec asserts the
+    // plan contains no SinglePartition exchange (the naive form does).
+    "x12_pack_shards" -> ((s, dir) =>
+      Packing.tokenBudgetShards(
+          docs(s, dir).select(col("doc_id"),
+            size(Derived.tokens(col("text"))).as("toks")),
+          "doc_id", "toks", PackBudget)
+        .orderBy(col("doc_id"))),
+
+    // B1: BPE merge training over the term-frequency dictionary — one
+    // corpus aggregation, then vocabulary-bounded rounds. Every trained
+    // merge (pair AND its frequency) is re-derived by the oracle, which
+    // unrolls all rounds as SQL CTEs (pair counts, argmax tie-break,
+    // double-replace application).
+    "b1_bpe_merges" -> ((s, dir) => {
+      val (merges, _) =
+        Bpe.train(Bpe.dictionary(docs(s, dir), Derived.tokens(col("text"))),
+          BpeRounds)
+      import s.implicits._
+      merges.toDF("merge_rank", "lft", "rgt", "freq").orderBy(col("merge_rank"))
+    }),
+
+    // B2: BPE tokenization — per-doc symbol count after applying the
+    // trained merges (broadcast dictionary join; the corpus shuffles only
+    // on the final doc-level aggregation).
+    "b2_bpe_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (_, trained) =
+        Bpe.train(Bpe.dictionary(d, Derived.tokens(col("text"))), BpeRounds)
+      Bpe.tokenize(d, "doc_id", Derived.tokens(col("text")), trained)
+        .orderBy(col("doc_id"))
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -500,36 +571,58 @@ object MlQueries {
    * distance and adc6 rounding boundary) is orders above double-summation
    * noise — verified by the gate on every run.
    */
-  private def pqOracleSql: String = {
-    val sub = 64 / PqNsub
-    // d$i/a$i: distance join + argmin assignment against codebook `prev`
-    def assign(i: Int, prev: String): String =
-      s"""d$i AS (SELECT sv.vec_id, sv.s, c.ci, SUM((sv.x - c.x)*(sv.x - c.x)) AS dist
-         |  FROM sv JOIN $prev c ON sv.s = c.s AND sv.ld = c.ld GROUP BY 1, 2, 3),
-         |a$i AS (SELECT vec_id, s, ci FROM (SELECT vec_id, s, ci,
-         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, ci) AS rn FROM d$i) t$i
-         |  WHERE rn = 1)""".stripMargin
-    // m$i/c$i: per-(s, ci, ld) means + the empty-cluster keep rule
+  // d$i/a$i: distance join + argmin assignment against codebook `prev`
+  // (row_number ties to the smallest centroid index, matching the Spark
+  // UDF's strict `<`)
+  private def pqAssignCtes(p: String, src: String, i: Int, prev: String): String =
+    s"""${p}d$i AS (SELECT sv.vec_id, sv.s, c.ci, SUM((sv.x - c.x)*(sv.x - c.x)) AS dist
+       |  FROM $src sv JOIN $prev c ON sv.s = c.s AND sv.ld = c.ld GROUP BY 1, 2, 3),
+       |${p}a$i AS (SELECT vec_id, s, ci FROM (SELECT vec_id, s, ci,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, ci) AS rn FROM ${p}d$i) ${p}t$i
+       |  WHERE rn = 1)""".stripMargin
+
+  /**
+   * Unrolled PQ k-means training over an in-scope subvector CTE
+   * `$src`(vec_id, s, ld, x) and the shared seed ranks `ord`(vec_id, rk) —
+   * the generator behind BOTH e7 (flat PQ) and e8 (each IVF-PQ level:
+   * the coarse quantizer is PQ with one whole-vector subspace). Emits
+   * `${p}c0` (seeds), per round `${p}d$i`/`${p}a$i` (assignment),
+   * `${p}m$i`/`${p}c$i` (means + empty-cluster keep rule), and the final
+   * assignment `${p}a${iters+1}` against `${p}c$iters`.
+   */
+  private def pqRoundCtes(p: String, src: String, ksub: Int, iters: Int): String = {
     def update(i: Int, prev: String): String =
-      s"""m$i AS (SELECT a.s, a.ci, sv.ld, AVG(sv.x) AS x
-         |  FROM a$i a JOIN sv ON sv.vec_id = a.vec_id AND sv.s = a.s GROUP BY 1, 2, 3),
-         |c$i AS (SELECT c.s, c.ci, c.ld, COALESCE(m.x, c.x) AS x
-         |  FROM $prev c LEFT JOIN m$i m ON m.s = c.s AND m.ci = c.ci AND m.ld = c.ld)""".stripMargin
-    val rounds = (1 to PqIters)
-      .map(i => assign(i, s"c${i - 1}") + ",\n" + update(i, s"c${i - 1}"))
+      s"""${p}m$i AS (SELECT a.s, a.ci, sv.ld, AVG(sv.x) AS x
+         |  FROM ${p}a$i a JOIN $src sv ON sv.vec_id = a.vec_id AND sv.s = a.s GROUP BY 1, 2, 3),
+         |${p}c$i AS (SELECT c.s, c.ci, c.ld, COALESCE(m.x, c.x) AS x
+         |  FROM $prev c LEFT JOIN ${p}m$i m ON m.s = c.s AND m.ci = c.ci AND m.ld = c.ld)""".stripMargin
+    val seeds =
+      s"""${p}c0 AS (SELECT sv.s, CAST(o.rk AS INTEGER) AS ci, sv.ld, sv.x
+         |  FROM $src sv JOIN ord o USING (vec_id) WHERE o.rk < $ksub)""".stripMargin
+    val rounds = (1 to iters)
+      .map(i => pqAssignCtes(p, src, i, s"${p}c${i - 1}") + ",\n" + update(i, s"${p}c${i - 1}"))
       .mkString(",\n")
-    val fin = PqIters + 1
+    Seq(seeds, rounds,
+      pqAssignCtes(p, src, iters + 1, s"${p}c$iters")).mkString(",\n")
+  }
+
+  /** Shared header: vectors, the sub=dim/nsub subvector layout, and the
+   *  portable seed ranks. */
+  private def pqHeaderCtes: String = {
+    val sub = 64 / PqNsub
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sv AS (SELECT vec_id, CAST(d // $sub AS INTEGER) AS s, CAST(d % $sub AS INTEGER) AS ld,
        |    v[CAST(d AS INTEGER) + 1] AS x
        |  FROM e, (SELECT unnest(range(64)) AS d) dd),
        |ord AS (SELECT vec_id,
        |    row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1 AS rk
-       |  FROM e),
-       |c0 AS (SELECT sv.s, CAST(o.rk AS INTEGER) AS ci, sv.ld, sv.x
-       |  FROM sv JOIN ord o USING (vec_id) WHERE o.rk < $PqKsub),
-       |$rounds,
-       |${assign(fin, s"c$PqIters")},
+       |  FROM e)""".stripMargin
+  }
+
+  private def pqOracleSql: String = {
+    val fin = PqIters + 1
+    s"""$pqHeaderCtes,
+       |${pqRoundCtes("", "sv", PqKsub, PqIters)},
        |qsv AS (SELECT s, ld, x FROM sv WHERE vec_id = 1),
        |lut AS (SELECT c.s, c.ci, SUM((q.x - c.x)*(q.x - c.x)) AS dist
        |  FROM c$PqIters c JOIN qsv q ON q.s = c.s AND q.ld = c.ld GROUP BY 1, 2),
@@ -537,6 +630,47 @@ object MlQueries {
        |  FROM a$fin a JOIN lut l ON l.s = a.s AND l.ci = a.ci GROUP BY 1),
        |chk AS (SELECT vec_id, CAST(SUM((s + 1) * ci) AS BIGINT) AS chk
        |  FROM a$fin GROUP BY 1)""".stripMargin
+  }
+
+  /**
+   * DuckDB twin of [[Ann.ivfPqIndex]] + [[Ann.ivfPqAdc]] at full probe:
+   * coarse k-means unrolled with prefix `g` over the whole-vector layout
+   * `gsv` (one subspace, ksub = nlist), residual subvectors `rsv` =
+   * sv − assigned coarse centroid, fine PQ unrolled with prefix `f` over
+   * `rsv`, then per-LIST query-residual lookup tables and the summed ADC.
+   * Ends with `glist`(vec_id, list), `chk8`, `adc8`.
+   *
+   * Cross-engine margins (measured at sf0.1, 2000 vectors): coarse argmin
+   * best-vs-second gap >= 6.4e-5, fine (residual) argmin gap >= 6.7e-7,
+   * adc6 rounding-boundary distance >= 6.4e-10 in adc units — all orders
+   * above double-summation order noise (~1e-15), so assignments and
+   * quantization are engine-stable.
+   */
+  private def ivfPqOracleSql: String = {
+    val sub = 64 / PqNsub
+    val gfin = IvfPqCoarseIters + 1
+    val ffin = PqIters + 1
+    s"""$pqHeaderCtes,
+       |gsv AS (SELECT vec_id, 0 AS s, CAST(d AS INTEGER) AS ld,
+       |    v[CAST(d AS INTEGER) + 1] AS x
+       |  FROM e, (SELECT unnest(range(64)) AS d) dd),
+       |${pqRoundCtes("g", "gsv", IvfPqNlist, IvfPqCoarseIters)},
+       |glist AS (SELECT vec_id, ci AS list FROM ga$gfin),
+       |rsv AS (SELECT sv.vec_id, sv.s, sv.ld, sv.x - gc.x AS x
+       |  FROM sv JOIN glist USING (vec_id)
+       |  JOIN gc$IvfPqCoarseIters gc ON gc.s = 0 AND gc.ci = glist.list
+       |    AND gc.ld = sv.s * $sub + sv.ld),
+       |${pqRoundCtes("f", "rsv", PqKsub, PqIters)},
+       |qv AS (SELECT s, ld, x FROM sv WHERE vec_id = 1),
+       |qr AS (SELECT g.ci AS list, q.s, q.ld, q.x - g.x AS x
+       |  FROM qv q JOIN gc$IvfPqCoarseIters g ON g.s = 0 AND g.ld = q.s * $sub + q.ld),
+       |lut8 AS (SELECT r.list, c.s, c.ci, SUM((r.x - c.x)*(r.x - c.x)) AS dist
+       |  FROM qr r JOIN fc$PqIters c ON c.s = r.s AND c.ld = r.ld GROUP BY 1, 2, 3),
+       |adc8 AS (SELECT a.vec_id, SUM(l.dist) AS adc
+       |  FROM fa$ffin a JOIN glist gl ON gl.vec_id = a.vec_id
+       |  JOIN lut8 l ON l.list = gl.list AND l.s = a.s AND l.ci = a.ci GROUP BY 1),
+       |chk8 AS (SELECT vec_id, CAST(SUM((s + 1) * ci) AS BIGINT) AS chk
+       |  FROM fa$ffin GROUP BY 1)""".stripMargin
   }
 
   /** DuckDB twin of [[Ann.lshSignature]]: hyperplane h(j,d) =
@@ -993,6 +1127,15 @@ object MlQueries {
          |SELECT chk.vec_id, chk.chk, ${Derived.q6Sql("adc.adc")} AS adc6
          |FROM chk JOIN adc USING (vec_id) ORDER BY vec_id""".stripMargin,
 
+    // IVF-PQ: both k-means levels unrolled (see ivfPqOracleSql) — every
+    // coarse list, every residual code and every per-list ADC re-derived
+    "e8_ivfpq" ->
+      s"""WITH $ivfPqOracleSql
+         |SELECT gl.vec_id, CAST(gl.list AS INTEGER) AS list, chk8.chk,
+         |  ${Derived.q6Sql("adc8.adc")} AS adc6
+         |FROM glist gl JOIN chk8 ON chk8.vec_id = gl.vec_id
+         |JOIN adc8 ON adc8.vec_id = gl.vec_id ORDER BY gl.vec_id""".stripMargin,
+
     // embedding near-dup clusters: recursive-CTE transitive closure (the
     // d6/g7 oracle pattern) over the SAME pair set e4 derives in SQL
     "e6_embed_clusters" ->
@@ -1192,6 +1335,72 @@ object MlQueries {
          |SELECT doc_id, lang_pred FROM langs
          |WHERE ${Sampling.ticketSql("doc_id", SampleSalt)} < $cut
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "x12_pack_shards" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(${Derived.tokensSql("text")}) AS BIGINT) AS toks
+         |  FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    COALESCE(SUM(toks) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM t)
+         |SELECT doc_id, toks, CAST(off AS BIGINT) AS off,
+         |  CAST(off // $PackBudget AS BIGINT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "b1_bpe_merges" ->
+      s"""WITH ${Derived.docTermsSqlCte},
+         |${bpeCtes(BpeRounds)}
+         |SELECT * FROM (
+         |  ${(1 to BpeRounds).map(r =>
+               s"SELECT CAST($r AS INTEGER) AS merge_rank, l AS lft, " +
+                 s"rgt, CAST(cnt AS BIGINT) AS freq FROM bm$r")
+             .mkString("\n  UNION ALL ")}
+         |) ORDER BY merge_rank""".stripMargin,
+
+    "b2_bpe_tokens" ->
+      s"""WITH ${Derived.docTermsSqlCte},
+         |${bpeCtes(BpeRounds)}
+         |SELECT doc_id,
+         |  CAST(SUM(len(list_filter(string_split(repr, ' '), t -> t <> '')))
+         |    AS BIGINT) AS bpe_len,
+         |  CAST(COUNT(*) AS BIGINT) AS n_terms
+         |FROM doc_terms JOIN brep$BpeRounds USING (term)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  /**
+   * Unrolled BPE training rounds as DuckDB CTEs over `doc_terms` — the SQL
+   * twin of [[Bpe.train]]. Ends with CTEs `bm{r}(l, rgt, cnt)` (the round-r
+   * merge) and `brep{r}(term, freq, repr)` (the dictionary after r merges).
+   * Argmax tie-break (cnt DESC, l ASC, rgt ASC) and the double literal
+   * replace match the engine exactly — see Bpe's scaladoc.
+   */
+  private def bpeCtes(rounds: Int): String = {
+    val base =
+      """bterms AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM doc_terms GROUP BY term),
+        |brep0 AS (SELECT term, freq,
+        |  ' ' || regexp_replace(term, '(.)', '\1 ', 'g') AS repr FROM bterms)"""
+        .stripMargin
+    val perRound = (1 to rounds).map { r =>
+      s"""bprs$r AS (
+         |  SELECT syms[CAST(i + 1 AS INTEGER)] AS l,
+         |    syms[CAST(i + 2 AS INTEGER)] AS rgt, SUM(freq) AS cnt
+         |  FROM (SELECT freq, syms, unnest(range(len(syms) - 1)) AS i
+         |    FROM (SELECT freq, list_filter(string_split(repr, ' '),
+         |        t -> t <> '') AS syms FROM brep${r - 1}))
+         |  GROUP BY 1, 2),
+         |bm$r AS (SELECT l, rgt, cnt FROM bprs$r
+         |  ORDER BY cnt DESC, l ASC, rgt ASC LIMIT 1),
+         |brep$r AS (SELECT term, freq,
+         |  replace(replace(repr, ' ' || m.l || ' ' || m.rgt || ' ',
+         |                        ' ' || m.l || m.rgt || ' '),
+         |                  ' ' || m.l || ' ' || m.rgt || ' ',
+         |                  ' ' || m.l || m.rgt || ' ') AS repr
+         |  FROM brep${r - 1}, bm$r m)""".stripMargin
+    }
+    (base +: perRound).mkString(",\n")
+  }
 }

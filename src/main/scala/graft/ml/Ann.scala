@@ -307,6 +307,99 @@ object Ann {
     assigned.withColumn("adc", adc(col("codes")))
   }
 
+  // ---- IVF-PQ (coarse quantizer + residual product quantization) ------------
+
+  /**
+   * Coarse IVF centroids via the PORTABLE seed-rank hash — the coarse
+   * k-means is exactly PQ training with a single subspace spanning the
+   * whole vector, so this reuses [[pqCentroids]] verbatim. Needed when an
+   * oracle must re-derive the coarse quantizer ([[ivfCentroids]] keeps
+   * xxhash64 seeds, which no oracle can reproduce; its e3 oracle cancels
+   * the centroids out via full probe ≡ brute force instead).
+   */
+  def ivfCentroidsPortable(embeddings: DataFrame, idCol: String, vecCol: String,
+                           nlist: Int, iters: Int): Array[Array[Double]] =
+    pqCentroids(embeddings, idCol, vecCol, 1, nlist, iters)(0)
+
+  /** Residual vectors vs the assigned coarse centroid — pure codegen
+   *  (map-literal lookup + zip_with), no UDF, no shuffle. */
+  def residuals(assigned: DataFrame, coarse: Array[Array[Double]]): DataFrame = {
+    val cents = typedLit(coarse.map(_.toSeq).toSeq)
+    assigned.withColumn("rvec",
+      zip_with(col("vec"), element_at(cents, col("list") + 1), (a, b) => a - b))
+  }
+
+  /**
+   * IVF-PQ index build (the Faiss-style composed ANN index): coarse-assign
+   * each vector to its nearest of `nlist` centroids, PQ-encode the RESIDUAL
+   * (v − centroid) with a shared codebook, keep only (vec_id, list, codes)
+   * — the memory-bound serving layout. Both stages reuse the portable-seed
+   * PQ trainer, so the ENTIRE two-level training run (coarse k-means →
+   * residuals → fine k-means → codes) is re-derivable in SQL.
+   * Returns (index, coarseCentroids, fineCodebooks).
+   */
+  def ivfPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int, coarseIters: Int, nsub: Int, ksub: Int,
+                 iters: Int): (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val coarse = ivfCentroidsPortable(embeddings, idCol, vecCol, nlist, coarseIters)
+    val assigned = pqAssign(embeddings, idCol, vecCol, Array(coarse))
+      .select(col("vec_id"), col("vec"), element_at(col("codes"), 1).as("list"))
+    val res = residuals(assigned, coarse)
+    val fine = pqCentroids(res, "vec_id", "rvec", nsub, ksub, iters)
+    val coded = pqAssign(res, "vec_id", "rvec", fine)
+      .select(col("vec_id"), col("codes"))
+    val index = assigned.select(col("vec_id"), col("list")).join(coded, Seq("vec_id"))
+    (index, coarse, fine)
+  }
+
+  /**
+   * IVF-PQ asymmetric-distance scoring over probed lists: the query is
+   * never quantized — per probed list l the residual query (q − coarse(l))
+   * gets its own nsub × ksub lookup table, and a vector's distance is the
+   * sum of its codes' entries in ITS list's table. Full probe (`probes` =
+   * all lists) is deterministic end to end — the oracle path; partial
+   * probe is the scale path (only nprobe/nlist of the codes table is
+   * read). Output: (vec_id, list, codes, adc).
+   */
+  def ivfPqAdc(index: DataFrame, coarse: Array[Array[Double]],
+               fine: Array[Array[Array[Double]]], query: Seq[Double],
+               probes: Seq[Int]): DataFrame = {
+    val nsub = fine.length; val ksub = fine(0).length; val subdim = fine(0)(0).length
+    val luts: Map[Int, Array[Array[Double]]] = probes.map { l =>
+      val qr = Array.tabulate(query.length)(d => query(d) - coarse(l)(d))
+      l -> Array.tabulate(nsub, ksub) { (s, c) =>
+        var d = 0.0; var j = 0
+        while (j < subdim) { val t = qr(s * subdim + j) - fine(s)(c)(j); d += t * t; j += 1 }
+        d
+      }
+    }.toMap
+    val bc = index.sparkSession.sparkContext.broadcast(luts)
+    val adcU = udf((list: Int, codes: Seq[Int]) => {
+      val lut = bc.value(list)
+      var d = 0.0; var s = 0
+      while (s < codes.length) { d += lut(s)(codes(s)); s += 1 }
+      d
+    })
+    index.filter(col("list").isin(probes.map(Integer.valueOf): _*))
+      .withColumn("adc", adcU(col("list"), col("codes")))
+  }
+
+  /** Persist the IVF-PQ index PARTITIONED BY list — the at-rest serving
+   *  layout: (vec_id, codes) per list directory, nsub ints per vector.
+   *  A probe reads only nprobe/nlist of the table via directory-level
+   *  partition pruning (asserted in AnnSpec), and decompresses nothing:
+   *  scoring is pure lut lookups over the codes. */
+  def ivfPqWrite(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("list").parquet(path)
+
+  /** Probe-limited ADC over a persisted IVF-PQ index ([[ivfPqWrite]]). */
+  def ivfPqProbeAdc(spark: org.apache.spark.sql.SparkSession, path: String,
+                    coarse: Array[Array[Double]],
+                    fine: Array[Array[Array[Double]]], query: Seq[Double],
+                    nprobe: Int): DataFrame =
+    ivfPqAdc(spark.read.parquet(path), coarse, fine, query,
+      probeLists(coarse, query, nprobe))
+
   /** Near-duplicate pairs by cosine >= threshold, LSH-bucketed self-join
    *  (exact within a bucket; recall governed by nBits). */
   def cosinePairs(bucketed: DataFrame, threshold: Double): DataFrame = {

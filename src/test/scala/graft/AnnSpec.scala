@@ -106,4 +106,82 @@ class AnnSpec extends AnyFunSuite {
     assert(Ann.hyperplane(3, 16).toSeq == Ann.hyperplane(3, 16).toSeq)
     assert(Ann.hyperplane(3, 16).forall(v => v >= -1.0 && v < 1.0))
   }
+
+  test("IVF-PQ: code shape, list spread, determinism, self-match at full probe") {
+    val (index, coarse, fine) =
+      Ann.ivfPqIndex(emb, "vec_id", "embedding", 4, 2, 8, 16, 2)
+    val rows = index.collect()
+    assert(rows.length == emb.count())
+    assert(rows.forall(_.getSeq[Int](2).length == 8))
+    val lists = rows.map(_.getInt(1)).toSet
+    assert(lists.size > 1 && lists.forall(l => l >= 0 && l < 4),
+      s"coarse quantizer degenerate: $lists")
+    // deterministic rebuild: identical lists and codes
+    val (index2, _, _) = Ann.ivfPqIndex(emb, "vec_id", "embedding", 4, 2, 8, 16, 2)
+    assert(index2.collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+      .sortBy(_._1).toSeq ==
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1).toSeq)
+    // full-probe ADC: the query's own vector must sit within the smallest
+    // handful of distances (its ADC is pure quantization error)
+    val adc = Ann.ivfPqAdc(index, coarse, fine, query, 0 until 4)
+      .select(col("vec_id"), col("adc")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._2)
+    assert(adc.length == rows.length)
+    assert(adc.take(5).map(_._1).contains(1L),
+      s"query not in its own top-5: ${adc.take(5).toSeq}")
+  }
+
+  test("IVF-PQ partial probe reads only the probed lists (the scale path)") {
+    val (index, coarse, fine) =
+      Ann.ivfPqIndex(emb, "vec_id", "embedding", 4, 2, 8, 16, 2)
+    val probes = Ann.probeLists(coarse, query, nprobe = 1)
+    val out = Ann.ivfPqAdc(index, coarse, fine, query, probes).collect()
+    assert(out.nonEmpty && out.length < index.count())
+    assert(out.forall(r => probes.contains(r.getInt(1))))
+    // the query's own list is the probe, so the self-match survives pruning
+    assert(out.map(_.getLong(0)).contains(1L))
+  }
+
+  test("persisted IVF-PQ index: probe prunes partitions and matches the in-memory path") {
+    val (index, coarse, fine) =
+      Ann.ivfPqIndex(emb, "vec_id", "embedding", 4, 2, 8, 16, 2)
+    val path = "/tmp/graft-test-ivfpq"
+    Ann.ivfPqWrite(index, path)
+    val fromDisk = Ann.ivfPqProbeAdc(spark, path, coarse, fine, query, nprobe = 2)
+    val probes = Ann.probeLists(coarse, query, 2)
+    val mem = Ann.ivfPqAdc(index, coarse, fine, query, probes)
+      .select(col("vec_id"), col("adc")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val disk = fromDisk.select(col("vec_id"), col("adc")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(disk == mem)
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("list"), s"list probe not a partition filter:\n$plan")
+  }
+
+  test("residual PQ reconstructs better than flat PQ (the point of IVF-PQ)") {
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // flat PQ reconstruction error
+    val flatCents = Ann.pqCentroids(emb, "vec_id", "embedding", 8, 16, 2)
+    val flatCodes = Ann.pqAssign(emb, "vec_id", "embedding", flatCents)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val sub = 64 / 8
+    def err(v: Seq[Double], recon: Int => Double): Double =
+      v.indices.map(d => { val t = v(d) - recon(d); t * t }).sum
+    val flatErr = vecs.map { case (id, v) =>
+      err(v, d => flatCents(d / sub)(flatCodes(id)(d / sub))(d % sub))
+    }.sum
+    // IVF-PQ reconstruction error: coarse centroid + fine residual centroid
+    val (index, coarse, fine) = Ann.ivfPqIndex(emb, "vec_id", "embedding", 4, 2, 8, 16, 2)
+    val ipq = index.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    val ivfErr = vecs.map { case (id, v) =>
+      val (l, codes) = ipq(id)
+      err(v, d => coarse(l)(d) + fine(d / sub)(codes(d / sub))(d % sub))
+    }.sum
+    assert(ivfErr < flatErr,
+      s"residual quantization no better: ivfpq=$ivfErr flat=$flatErr")
+  }
 }
