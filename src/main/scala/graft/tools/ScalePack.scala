@@ -29,6 +29,13 @@ object ScalePack {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // untimed warm-up: absorb the fresh session's one-time cost (codegen,
+    // JIT, parquet footers) so the two timed legs compare cleanly
+    Packing.tokenBudgetShards(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), length(col("text")).cast("long").as("toks")),
+      "doc_id", "toks", budget).agg(max(col("shard"))).head()
+
     for (r <- Seq(reps, 2 * reps)) {
       val path = s"/tmp/graft-pack-scale-$r"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
@@ -43,15 +50,21 @@ object ScalePack {
       val n = scaled.count()
       val total = scaled.agg(sum(col("toks"))).head().getLong(0)
 
-      val t0 = System.nanoTime()
-      val out = Packing.tokenBudgetShards(scaled, "doc_id", "toks", budget)
-      val last = out.orderBy(desc("doc_id")).limit(1).head()
-      val shards = out.agg(countDistinct(col("shard"))).head().getLong(0)
-      val wall = (System.nanoTime() - t0) / 1e9
-
-      val lastEnd = last.getLong(2) + last.getLong(1)
+      // min of 2 reps: the first rep at each size still carries residual
+      // one-time costs (shuffle/file-stream init) that the warm-up above
+      // does not fully absorb
+      var lastEnd = 0L; var shards = 0L
+      val walls = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val out = Packing.tokenBudgetShards(scaled, "doc_id", "toks", budget)
+        val last = out.orderBy(desc("doc_id")).limit(1).head()
+        shards = out.agg(countDistinct(col("shard"))).head().getLong(0)
+        lastEnd = last.getLong(2) + last.getLong(1)
+        (System.nanoTime() - t0) / 1e9
+      }
       val expectShards = (total + budget - 1) / budget
-      println(f"PACKSCALE reps=$r rows=$n toks=$total wall=$wall%.1f s " +
+      println(f"PACKSCALE reps=$r rows=$n toks=$total wall=${walls.min}%.1f s " +
+        f"(reps ${walls.map(w => f"$w%.1f").mkString("/")}) " +
         s"shards=$shards lastEnd=$lastEnd " +
         s"exact=${lastEnd == total && shards == expectShards}")
     }
