@@ -16,6 +16,9 @@ object D6Diag {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.graft.components.debug", "true")
+      // this diagnostic measures the DISTRIBUTED loop's per-round cost;
+      // production small graphs take the driver fast path instead
+      .config("spark.graft.components.driverMax", "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -91,21 +91,46 @@ class DedupSpec extends AnyFunSuite {
     // a 64-node path graph with maxIters=2: min-label + pointer jumping
     // covers distance ~2^r after r rounds, so 2 rounds cannot reach the far
     // end — without the fallback the call must throw, never silently
-    // mislabel; with it (the default) the star algorithm finishes the job
+    // mislabel; with it (the default) the star algorithm finishes the job.
+    // driverMax=0 forces the distributed loop (the driver fast path would
+    // otherwise solve a 64-node graph before the loop runs).
     val nodes = (0L to 63L).map(Tuple1(_)).toDF("id")
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val e = intercept[IllegalStateException] {
-      graft.ml.Components.minLabel(nodes, edges, maxIters = 2,
-        starFallback = false).collect()
-    }
-    assert(e.getMessage.contains("did not converge"))
-    val viaStar = graft.ml.Components.minLabel(nodes, edges, maxIters = 2)
+    spark.conf.set("spark.graft.components.driverMax", "0")
+    try {
+      val e = intercept[IllegalStateException] {
+        graft.ml.Components.minLabel(nodes, edges, maxIters = 2,
+          starFallback = false).collect()
+      }
+      assert(e.getMessage.contains("did not converge"))
+      val viaStar = graft.ml.Components.minLabel(nodes, edges, maxIters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStar.values.forall(_ == 0L), "star fallback must label the full path")
+      // the same graph converges directly with the default budget
+      val ok = graft.ml.Components.minLabel(nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ok.values.forall(_ == 0L))
+    } finally spark.conf.unset("spark.graft.components.driverMax")
+  }
+
+  test("components driver fast path equals the distributed loop exactly") {
+    // chains, a clique patch, isolates, a duplicate edge, and edges whose
+    // endpoints are NOT in the node set (both paths must ignore them)
+    val nodes = (0L until 500L).map(Tuple1(_)).toDF("id")
+    val edges = ((0L until 200L by 2).map(i => (i, i + 1)) ++
+      Seq((10L, 11L), (11L, 12L), (900L, 1L), (3L, 900L)) ++
+      (300L until 340L).map(i => (i, i + 3))).toDF("id1", "id2")
+    val viaDriver = graft.ml.Components.minLabel(nodes, edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(viaStar.values.forall(_ == 0L), "star fallback must label the full path")
-    // the same graph converges directly with the default budget
-    val ok = graft.ml.Components.minLabel(nodes, edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(ok.values.forall(_ == 0L))
+    spark.conf.set("spark.graft.components.driverMax", "0")
+    val viaDist =
+      try graft.ml.Components.minLabel(nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.components.driverMax")
+    assert(viaDriver == viaDist)
+    assert(viaDriver(11L) == 10L && viaDriver(12L) == 10L) // chain + extension
+    assert(viaDriver(1L) == 0L && !viaDriver.contains(900L)) // unknown ignored
+    graft.ml.Components.releaseResults()
   }
 
   test("starComponents: high-diameter path + mixed components, O(log^2 n) rounds") {
@@ -129,7 +154,10 @@ class DedupSpec extends AnyFunSuite {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val nodes = (1L to 6L).map(Tuple1(_)).toDF("id")
     val edges = Seq((1L, 2L), (5L, 6L)).toDF("id1", "id2")
-    graft.ml.Components.minLabel(nodes, edges).count()
+    // force the distributed loop — the driver fast path persists nothing
+    spark.conf.set("spark.graft.components.driverMax", "0")
+    try graft.ml.Components.minLabel(nodes, edges).count()
+    finally spark.conf.unset("spark.graft.components.driverMax")
     graft.ml.Components.releaseResults()
     // allow the async (blocking=false) unpersists to drain
     val deadline = System.nanoTime() + 10e9.toLong
