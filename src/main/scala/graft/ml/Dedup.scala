@@ -227,10 +227,20 @@ object Dedup {
 
   /** Exploded span occurrences: (doc_id, pos, span) — pos is the 0-based
    *  token index where the k-gram starts. One row per occurrence (NOT
-   *  distinct: within-doc repeats are themselves duplication signal). */
+   *  distinct: within-doc repeats are themselves duplication signal).
+   *
+   *  The tokenization is materialized in its OWN projection before the
+   *  window lambda: `slice(toks, i+1, k)` inside `transform` re-evaluates
+   *  its argument per window position, so inlining the tokenizer there
+   *  re-ran the full regex split ~n_tokens times per document — the same
+   *  lambda/CaseWhen subexpression hazard as x7's stratum (measured: the
+   *  span explode alone cost 4.2 s at sf0.1; 0.4 s with the barrier
+   *  projection). CollapseProject keeps the barrier because the alias is
+   *  referenced more than once by a non-trivial expression. */
   def spanTable(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      posexplode(spans(graft.sources.Derived.tokens(col(textCol)), k)).as(Seq("pos", "span")))
+        graft.sources.Derived.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), posexplode(spans(col("toks"), k)).as(Seq("pos", "span")))
 
   /**
    * Exact duplicated-span statistics — the ExactSubstr dedup signal of
