@@ -65,20 +65,27 @@ object Dedup {
       .agg(min(col("b_id")).as("keep_id"))
   }
 
-  /** (doc_id, shingle) exploded pairs. */
+  /** (doc_id, shingle) exploded pairs. The lowercasing is materialized in
+   *  its OWN projection before the shingle lambda — `t.substr(i, n)` inside
+   *  `transform` re-evaluates its receiver per position, so inlining
+   *  `lower(text)` there re-ran it ~n_chars times per document (the
+   *  spanTable lambda hazard; same fix). */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), n)).as("shingle"))
+    docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("lt"))
+      .select(col("doc_id"), explode(shinglesLowered(col("lt"), n)).as("shingle"))
 
   /** Character n-gram shingle array (distinct), lowercase. Empty when the
-   *  text is shorter than n. */
-  def shingles(c: Column, n: Int): Column = {
-    val t = lower(c)
+   *  text is shorter than n. Column-level form — when applied over a
+   *  DataFrame, prefer [[shingleTable]]'s barrier projection (see its
+   *  scaladoc). */
+  def shingles(c: Column, n: Int): Column = shinglesLowered(lower(c), n)
+
+  /** Shingle array over an ALREADY-lowercased column. */
+  private def shinglesLowered(t: Column, n: Int): Column =
     when(length(t) >= n,
       array_distinct(transform(sequence(lit(1), length(t) - (n - 1)),
         i => t.substr(i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Exact n-gram Jaccard near-dup pairs with similarity >= `threshold`.
    *  Output: (id1, id2, sim4) with id1 < id2, sim quantized 1e-4. */
