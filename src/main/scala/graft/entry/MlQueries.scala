@@ -3,7 +3,7 @@ package graft.entry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ml.{Ann, Bpe, Dedup, Packing, Sampling, TextStats}
+import graft.ml.{Ann, Bpe, Dedup, Packing, Sampling, Sketch, TextStats}
 import graft.sources.Derived
 import graft.images.{Audio, Images, Video}
 
@@ -51,6 +51,11 @@ object MlQueries {
    *  earlier merge outputs as single symbols) while keeping the unrolled
    *  SQL oracle readable. */
   val BpeRounds = 6
+  /** x13: heavy-hitter parameter (count·K > total) — the corpus's 31 terms
+   *  sit at 3.2–3.6% each, so the 1/30 cut splits the vocabulary mid-pack
+   *  AND forces real Misra-Gries counter evictions (31 items > 30
+   *  counters). */
+  val HeavyK = 30
   /** Nearest observed pair-cosine is 8e-4 (sf0.01) / 5.9e-7 (sf0.1) from
    *  this cut, and the nearest cos6 rounding boundary is 2.7e-10 away in
    *  cos units — both orders beyond cross-engine float-summation noise
@@ -489,6 +494,16 @@ object MlQueries {
             size(Derived.tokens(col("text"))).as("toks")),
           "doc_id", "toks", PackBudget)
         .orderBy(col("doc_id"))),
+
+    // X13: exact heavy hitters via a mergeable Misra-Gries sketch + exact
+    // verify rescan — the full-cardinality groupBy never happens (pass 1
+    // moves <= k rows per partition to the driver, pass 2 shuffles only
+    // candidate rows), yet the output is EXACT, so the DuckDB twin is a
+    // plain GROUP BY + HAVING.
+    "x13_heavy_terms" -> ((s, dir) =>
+      Sketch.heavyHitters(Derived.docTerms(s, dir).select(col("term")),
+          "term", HeavyK)
+        .orderBy(col("term"))),
 
     // B1: BPE merge training over the term-frequency dictionary — one
     // corpus aggregation, then vocabulary-bounded rounds. Every trained
@@ -1348,6 +1363,14 @@ object MlQueries {
          |SELECT doc_id, toks, CAST(off AS BIGINT) AS off,
          |  CAST(off // $PackBudget AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x13_heavy_terms" ->
+      s"""WITH ${Derived.docTermsSqlCte},
+         |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM doc_terms GROUP BY term),
+         |tot AS (SELECT COUNT(*) AS n FROM doc_terms)
+         |SELECT term, cnt FROM tc, tot
+         |WHERE cnt * $HeavyK > n ORDER BY term""".stripMargin,
 
     "b1_bpe_merges" ->
       s"""WITH ${Derived.docTermsSqlCte},

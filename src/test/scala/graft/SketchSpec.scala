@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ml.Sketch
+
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // skewed stream: two heavy items among a long tail of distinct noise
+  private def skewed(nNoise: Int) =
+    (Seq.fill(400)("alpha") ++ Seq.fill(250)("beta") ++
+      (0 until nNoise).map(i => s"noise$i"))
+      .zipWithIndex.map { case (s, i) => (s, i) } // vary order via index
+      .sortBy(_._2 * 37 % 1009).map(_._1).toDF("item")
+
+  private def exact(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val total = df.count()
+    df.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > total)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("heavy hitters equal the exact groupBy + threshold") {
+    val df = skewed(800) // 1450 rows; alpha 27.6%, beta 17.2%
+    for (k <- Seq(3, 5, 6, 10)) {
+      val got = Sketch.heavyHitters(df, "item", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exact(df, k), s"k=$k")
+    }
+    // the fixture is real: beta (17.2%) clears 1/6 but not 1/5
+    assert(exact(df, 6).keySet == Set("alpha", "beta"))
+    assert(exact(df, 5).keySet == Set("alpha"))
+  }
+
+  test("output is partition-count invariant (MG merge guarantee)") {
+    val df = skewed(2000)
+    val reference = Sketch.heavyHitters(df.coalesce(1), "item", 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    for (p <- Seq(3, 17, 32)) {
+      val got = Sketch.heavyHitters(df.repartition(p), "item", 8)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == reference, s"partitions=$p")
+    }
+  }
+
+  test("cardinality above the counter budget still finds every heavy hitter") {
+    // 40 distinct mid-weight items + 1 heavy, k = 4 counters: evictions
+    // constantly churn the tiny summary, but the MG guarantee (an item with
+    // freq > n/k survives every partial and the merge) must hold.
+    // total = 1500, threshold = 375: only "big" (500) qualifies.
+    val df = (Seq.fill(500)("big") ++
+      (0 until 40).flatMap(i => Seq.fill(25)(s"mid$i"))).toDF("item")
+    val got = Sketch.heavyHitters(df.repartition(7), "item", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("big" -> 500L))
+  }
+
+  test("no heavy hitters -> empty result, correct schema") {
+    val df = (0 until 300).map(i => s"u$i").toDF("item")
+    val out = Sketch.heavyHitters(df, "item", 10)
+    assert(out.columns.toSeq == Seq("item", "cnt"))
+    assert(out.count() == 0)
+  }
+}
