@@ -79,4 +79,14 @@ object Packing {
       .withColumn("shard", expr(s"off div ${budget}L"))
       .select(col(idCol), col("toks"), col("off"), col("shard"))
   }
+
+  /** Persist the packed corpus PARTITIONED BY shard — the at-rest
+   *  training-shard layout: a dataloader (or a resumed job) reads one
+   *  shard's directory without touching the rest (directory-level
+   *  pruning, asserted in PackingSpec). `docs` re-joins on `idCol` so the
+   *  payload columns ride along with (toks, off, shard). */
+  def writeShards(packed: DataFrame, docs: DataFrame, idCol: String,
+                  path: String): Unit =
+    docs.join(packed, Seq(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -47,6 +47,20 @@ class PackingSpec extends AnyFunSuite {
     assert(naive.queryExecution.executedPlan.toString.contains("SinglePartition"))
   }
 
+  test("at-rest shards: one-shard reads prune at directory level") {
+    val packed = Packing.tokenBudgetShards(docs, "id", "toks", 100L, 8)
+    val path = "/tmp/graft-test-shards"
+    Packing.writeShards(packed, docs.withColumnRenamed("toks", "payload"),
+      "id", path)
+    val one = spark.read.parquet(path).filter(col("shard") === 3)
+    val expected = packed.filter(col("shard") === 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(one.collect().map(_.getLong(0)).toSet == expected && expected.nonEmpty)
+    val plan = one.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("shard"), s"shard filter not pruned:\n$plan")
+  }
+
   test("shards respect the start-offset ownership rule") {
     val rows = Packing.tokenBudgetShards(docs, "id", "toks", 100L, 8).collect()
     rows.foreach { r =>
