@@ -94,19 +94,26 @@ object Bpe {
     (merges.result(), cur)
   }
 
+  /** Dictionaries under this row count broadcast for the tokenize join;
+   *  larger vocabularies (a 100 TB crawl can reach 10^8 terms — past the
+   *  executor broadcast budget) take the shuffle join instead. */
+  val BroadcastDictMax = 10000000L
+
   /**
    * Tokenize a corpus with a trained dictionary: per doc, the total symbol
    * count after merges plus the pre-merge (whitespace-ish) token count —
    * the numbers a data pipeline reports per document when sizing shards.
-   * The dictionary joins broadcast (vocabulary-sized); the corpus never
-   * shuffles on anything but the final doc-level aggregation.
+   * A vocabulary-sized dictionary joins broadcast (the corpus never
+   * shuffles on anything but the final doc-level aggregation); past
+   * [[BroadcastDictMax]] rows the join falls back to a term-keyed shuffle.
    */
   def tokenize(df: DataFrame, idCol: String, tokensCol: Column,
                trained: DataFrame): DataFrame = {
     val nsyms = trained.select(col("term"),
       size(syms(col("repr"))).as("nsyms"))
+    val dict = if (nsyms.count() <= BroadcastDictMax) broadcast(nsyms) else nsyms
     df.select(col(idCol), explode(tokensCol).as("term"))
-      .join(broadcast(nsyms), Seq("term"))
+      .join(dict, Seq("term"))
       .groupBy(col(idCol))
       .agg(sum(col("nsyms")).as("bpe_len"), count(lit(1)).as("n_terms"))
   }
