@@ -495,6 +495,23 @@ object MlQueries {
           "doc_id", "toks", PackBudget)
         .orderBy(col("doc_id"))),
 
+    // X14: exact per-language quality quantiles (threshold selection for a
+    // filtering pipeline) via the bounded-domain value histogram — one
+    // corpus shuffle, the cumulative window runs over <= langs x 10001
+    // histogram rows, never the corpus; nearest-rank in pure integer
+    // arithmetic, so the oracle is bit-exact with no rounding margins.
+    "x14_quality_quantiles" -> ((s, dir) =>
+      TextStats.groupQuantiles(
+          docs(s, dir).select(
+            concat_ws("|", TextStats.langIdCol(col("text")),
+              (size(Derived.tokens(col("text"))).cast("long") / 20)
+                .cast("long").cast("string")).as("grp"),
+            Derived.q4(TextStats.qualityScoreCol(col("text"))).as("q4")),
+          "grp", "q4", Seq((1, 2), (9, 10), (99, 100)))
+        .select(col("grp"), col("n"), col("p1_2").as("p50"),
+          col("p9_10").as("p90"), col("p99_100").as("p99"))
+        .orderBy(col("grp"))),
+
     // X13: exact heavy hitters via a mergeable Misra-Gries sketch + exact
     // verify rescan — the full-cardinality groupBy never happens (pass 1
     // moves <= k rows per partition to the driver, pass 2 shuffles only
@@ -1363,6 +1380,23 @@ object MlQueries {
          |SELECT doc_id, toks, CAST(off AS BIGINT) AS off,
          |  CAST(off // $PackBudget AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x14_quality_quantiles" ->
+      s"""WITH q AS (SELECT ${TextStats.langIdSqlCase("text")} || '|' ||
+         |    CAST(len(${Derived.tokensSql("text")}) // 20 AS VARCHAR) AS grp,
+         |    ${TextStats.qualitySqlSelect("text").last}
+         |  FROM documents),
+         |h AS (SELECT grp, quality4 AS v, COUNT(*) AS c
+         |  FROM q GROUP BY 1, 2),
+         |t AS (SELECT grp, SUM(c) AS n FROM h GROUP BY 1),
+         |cu AS (SELECT h.grp, v,
+         |    SUM(c) OVER (PARTITION BY h.grp ORDER BY v) AS cum, n
+         |  FROM h JOIN t USING (grp))
+         |SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+         |  CAST(MIN(CASE WHEN cum * 2 >= n * 1 THEN v END) AS BIGINT) AS p50,
+         |  CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS BIGINT) AS p90,
+         |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN v END) AS BIGINT) AS p99
+         |FROM cu GROUP BY 1 ORDER BY grp""".stripMargin,
 
     "x13_heavy_terms" ->
       s"""WITH ${Derived.docTermsSqlCte},

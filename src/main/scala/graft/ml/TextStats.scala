@@ -287,4 +287,38 @@ object TextStats {
        |  LEFT JOIN big bg ON bg.w1 = prev.term AND bg.w2 = t.term)
        |SELECT doc_id, COUNT(*) AS n_tokens, ${Derived.q4Sql("AVG(lp)")} AS avg_lp4
        |FROM scored GROUP BY doc_id""".stripMargin
+
+  /**
+   * Exact per-group quantiles of a bounded-domain integer column via the
+   * VALUE HISTOGRAM: one corpus-scale shuffle (groupBy (group, value)),
+   * then a cumulative window over the histogram — at most groups × |domain|
+   * rows, corpus-size-INDEPENDENT. The textbook alternative
+   * (partitionBy(group).orderBy(value) over the raw rows) puts an entire
+   * group in one task: at 10^12 rows one dominant language serializes the
+   * job. Quantiles are nearest-rank — value at rank ceil(p·n), tested as
+   * cum·den >= n·num in pure integer arithmetic (no float interpolation,
+   * no rounding boundary) — so results are bit-exact cross-engine.
+   *
+   * `ps` are (numerator, denominator) rationals, 0 < num <= den. Output:
+   * (group, n, p<num>_<den>...).
+   */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     ps: Seq[(Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall { case (nu, de) => nu > 0 && nu <= de },
+      s"quantiles must be rationals in (0, 1]: $ps")
+    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val totals = hist.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(totals), Seq(groupCol))
+    val qs = ps.map { case (nu, de) =>
+      // cum >= ceil(n·nu/de)  ⟺  cum·de >= n·nu  (integers)
+      min(when(col("cum") * de >= col("n") * nu, col("v"))).as(s"p${nu}_$de")
+    }
+    val aggs = max(col("n")).as("n") +: qs
+    cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

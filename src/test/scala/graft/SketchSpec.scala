@@ -64,4 +64,41 @@ class SketchSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("item", "cnt"))
     assert(out.count() == 0)
   }
+
+  test("groupQuantiles: nearest-rank exactness vs sorted reference") {
+    import graft.ml.TextStats
+    // ragged groups incl. a single-element group and heavy ties
+    val rows = Seq("a" -> 5, "a" -> 1, "a" -> 3, "a" -> 3, "a" -> 9,
+      "b" -> 7, "c" -> 2, "c" -> 2, "c" -> 2, "c" -> 8)
+    val df = rows.toDF("g", "v").repartition(5)
+    val got = TextStats.groupQuantiles(df, "g", "v",
+        Seq((1, 2), (9, 10), (99, 100)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def ref(vs: Seq[Int], nu: Int, de: Int): Long = {
+      val sorted = vs.sorted
+      val r = (vs.size * nu + de - 1) / de // ceil
+      sorted(r - 1).toLong
+    }
+    for ((g, vs) <- rows.groupMap(_._1)(_._2)) {
+      val (n, p50, p90, p99) = got(g)
+      assert(n == vs.size)
+      assert(p50 == ref(vs, 1, 2), s"$g p50")
+      assert(p90 == ref(vs, 9, 10), s"$g p90")
+      assert(p99 == ref(vs, 99, 100), s"$g p99")
+    }
+  }
+
+  test("groupQuantiles: the window input is the histogram, not the corpus") {
+    import graft.ml.TextStats
+    // the Window must run over the post-aggregate histogram — at corpus
+    // scale a per-group window over raw rows serializes the dominant group
+    val df = (0 until 5000).map(i => ("g" + i % 3, i % 17)).toDF("g", "v")
+    val plan = TextStats.groupQuantiles(df, "g", "v", Seq((1, 2)))
+      .queryExecution.optimizedPlan.toString
+    val windowIdx = plan.indexOf("Window")
+    val aggBelow = plan.indexOf("Aggregate", windowIdx)
+    assert(windowIdx >= 0 && aggBelow > windowIdx,
+      s"window does not sit above the histogram aggregate:\n$plan")
+  }
 }
