@@ -51,6 +51,12 @@ object MlQueries {
    *  earlier merge outputs as single symbols) while keeping the unrolled
    *  SQL oracle readable. */
   val BpeRounds = 6
+  /** x15 semantic-decontamination threshold. Membership margin (nearest
+   *  pair-cos to the cut): 4.6e-3 at sf0.01 / 2.4e-4 at sf0.1; nearest cos6
+   *  rounding boundary 7.7e-10 / 1.1e-10 in cos units — both orders above
+   *  cross-engine float-summation noise (~1e-13). 9 matched pairs at
+   *  sf0.01 — sparse but nonempty, like d9's span leak. */
+  val SemanticThreshold = 0.25
   /** x13: heavy-hitter parameter (count·K > total) — the corpus's 31 terms
    *  sit at 3.2–3.6% each, so the 1/30 cut splits the vocabulary mid-pack
    *  AND forces real Misra-Gries counter evictions (31 items > 30
@@ -494,6 +500,25 @@ object MlQueries {
             size(Derived.tokens(col("text"))).as("toks")),
           "doc_id", "toks", PackBudget)
         .orderBy(col("doc_id"))),
+
+    // X15: SEMANTIC decontamination — the embedding twin of d9: a training
+    // vector is flagged iff it cosine-matches any eval-suite vector above
+    // the threshold. Cross-set LSH-bucketed match (pairs only form inside
+    // a bucket — the right set is an eval suite but the plan never assumes
+    // it is small); deterministic hyperplanes make the whole approximate
+    // path value-level oracle-able, like e2/e4.
+    "x15_semantic_decontam" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val bucketed = Ann.lshBuckets(e, "vec_id", "embedding", CosinePairBits, dim)
+      Ann.cosineMatch(
+          bucketed.filter(col("vec_id") % DecontamMod =!= 0),
+          bucketed.filter(col("vec_id") % DecontamMod === 0),
+          SemanticThreshold)
+        .groupBy(col("id1").as("vec_id"))
+        .agg(count(lit(1)).as("n_matches"), max(col("cos6")).as("max_cos6"))
+        .orderBy(col("vec_id"))
+    }),
 
     // X14: exact per-language quality quantiles (threshold selection for a
     // filtering pipeline) via the bounded-domain value histogram — one
@@ -1380,6 +1405,25 @@ object MlQueries {
          |SELECT doc_id, toks, CAST(off AS BIGINT) AS off,
          |  CAST(off // $PackBudget AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x15_semantic_decontam" ->
+      s"""WITH ${lshSigCtes(CosinePairBits)},
+         |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |    unnest(range(len(embedding))) AS pos
+         |  FROM embeddings),
+         |bp AS (SELECT a.vec_id AS tid, b.vec_id AS bid
+         |  FROM sig a JOIN sig b ON a.bucket = b.bucket
+         |  WHERE a.vec_id % $DecontamMod != 0 AND b.vec_id % $DecontamMod = 0),
+         |pc AS (SELECT p.tid, p.bid,
+         |    SUM(x.v * y.v) / (sqrt(SUM(x.v * x.v)) * sqrt(SUM(y.v * y.v))) AS cos
+         |  FROM bp p
+         |  JOIN ev x ON x.vec_id = p.tid
+         |  JOIN ev y ON y.vec_id = p.bid AND x.pos = y.pos
+         |  GROUP BY 1, 2)
+         |SELECT tid AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         |  CAST(MAX(${Derived.q6Sql("cos")}) AS BIGINT) AS max_cos6
+         |FROM pc WHERE cos >= $SemanticThreshold
+         |GROUP BY 1 ORDER BY vec_id""".stripMargin,
 
     "x14_quality_quantiles" ->
       s"""WITH q AS (SELECT ${TextStats.langIdSqlCase("text")} || '|' ||

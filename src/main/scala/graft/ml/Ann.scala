@@ -400,6 +400,25 @@ object Ann {
     ivfPqAdc(spark.read.parquet(path), coarse, fine, query,
       probeLists(coarse, query, nprobe))
 
+  /** Cross-set cosine matches (semantic decontamination / retrieval audit):
+   *  every (left, right) pair sharing an LSH bucket with cosine >=
+   *  threshold. Both inputs must be bucketed by the SAME [[lshBuckets]]
+   *  hyperplanes; pairs only form inside a bucket (the scale path — the
+   *  right set is typically an eval suite, but nothing here assumes it is
+   *  small). Output: (id1 from left, id2 from right, cos6). */
+  def cosineMatch(leftBucketed: DataFrame, rightBucketed: DataFrame,
+                  threshold: Double): DataFrame = {
+    val a = leftBucketed.select(col("vec_id").as("id1"), col("vec").as("v1"), col("bucket"))
+    val b = rightBucketed.select(col("vec_id").as("id2"), col("vec").as("v2"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .withColumn("dot", aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("cos", col("dot") / (norm(col("v1")) * norm(col("v2"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos") * 1000000).cast("long").as("cos6"))
+      .distinct()
+  }
+
   /** Near-duplicate pairs by cosine >= threshold, LSH-bucketed self-join
    *  (exact within a bucket; recall governed by nBits). */
   def cosinePairs(bucketed: DataFrame, threshold: Double): DataFrame = {

@@ -107,6 +107,26 @@ class AnnSpec extends AnyFunSuite {
     assert(Ann.hyperplane(3, 16).forall(v => v >= -1.0 && v < 1.0))
   }
 
+  test("cosineMatch: cross-set matches = the cross-set slice of cosinePairs") {
+    val dim = query.length
+    val bucketed = Ann.lshBuckets(emb, "vec_id", "embedding", 8, dim).cache()
+    val left = bucketed.filter(col("vec_id") % 3 =!= 0)
+    val right = bucketed.filter(col("vec_id") % 3 === 0)
+    val got = Ann.cosineMatch(left, right, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: self-join pairs over the full set, keep only cross-cut
+    // pairs, reorient (left id first)
+    val ref = Ann.cosinePairs(bucketed, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .flatMap { case (a, b, c) =>
+        if (a % 3 != 0 && b % 3 == 0) Some((a, b, c))
+        else if (b % 3 != 0 && a % 3 == 0) Some((b, a, c))
+        else None
+      }.toSet
+    assert(got == ref && got.nonEmpty)
+    bucketed.unpersist()
+  }
+
   test("IVF-PQ: code shape, list spread, determinism, self-match at full probe") {
     val (index, coarse, fine) =
       Ann.ivfPqIndex(emb, "vec_id", "embedding", 4, 2, 8, 16, 2)
