@@ -1477,6 +1477,11 @@ object MlQueries {
    * merge) and `brep{r}(term, freq, repr)` (the dictionary after r merges).
    * Argmax tie-break (cnt DESC, l ASC, rgt ASC) and the double literal
    * replace match the engine exactly — see Bpe's scaladoc.
+   *
+   * A round whose merge set runs dry (bm{r} empty — every repr is a single
+   * symbol) must be a NO-OP like the engine loop's `if (top.nonEmpty)`
+   * branch, not an empty cross join that zeroes every later CTE: brep{r}
+   * LEFT-joins its merge row and keeps the repr unchanged when absent.
    */
   private def bpeCtes(rounds: Int): String = {
     val base =
@@ -1496,11 +1501,12 @@ object MlQueries {
          |bm$r AS (SELECT l, rgt, cnt FROM bprs$r
          |  ORDER BY cnt DESC, l ASC, rgt ASC LIMIT 1),
          |brep$r AS (SELECT term, freq,
-         |  replace(replace(repr, ' ' || m.l || ' ' || m.rgt || ' ',
-         |                        ' ' || m.l || m.rgt || ' '),
-         |                  ' ' || m.l || ' ' || m.rgt || ' ',
-         |                  ' ' || m.l || m.rgt || ' ') AS repr
-         |  FROM brep${r - 1}, bm$r m)""".stripMargin
+         |  CASE WHEN m.l IS NULL THEN repr ELSE
+         |    replace(replace(repr, ' ' || m.l || ' ' || m.rgt || ' ',
+         |                          ' ' || m.l || m.rgt || ' '),
+         |                    ' ' || m.l || ' ' || m.rgt || ' ',
+         |                    ' ' || m.l || m.rgt || ' ') END AS repr
+         |  FROM brep${r - 1} LEFT JOIN bm$r m ON TRUE)""".stripMargin
     }
     (base +: perRound).mkString(",\n")
   }

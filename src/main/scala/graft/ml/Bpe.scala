@@ -17,15 +17,19 @@ import org.apache.spark.sql.functions._
  * `replace` is left-to-right and non-overlapping in every engine
  * (java.lang.String, Spark's StringReplace, DuckDB), but one pass consumes
  * the shared delimiter between back-to-back matches (`" a a a a "` merges
- * only the first pair), so each round applies the replacement TWICE —
- * a fixed, engine-reproducible pass count that catches the
- * delimiter-starved second occurrence. The resulting merge semantics
- * (documented, spec-pinned in BpeSpec) are deterministic and identical
- * across engines, which is what makes the whole trainer value-level
- * oracle-able in DuckDB: the oracle unrolls every round — pair counts,
- * argmax with (freq DESC, l ASC, r ASC) tie-break, double replace — as
- * plain SQL CTEs and must reproduce every merge and every final symbol
- * count bit-for-bit.
+ * only the first pair), so each round applies the replacement TWICE — a
+ * fixed, engine-reproducible pass count. NOTE these pinned semantics are
+ * engine-reproducible but NOT equivalent to Sennrich-style symbol-sequence
+ * merging on same-symbol runs of length >= 5: two literal passes over
+ * `" a a a a a a "` yield `[aa, a, aa, a]` where symbol-wise non-
+ * overlapping merging yields `[aa, aa, aa]` (golden-pinned in BpeSpec), so
+ * pair counts and token counts can differ from reference BPE
+ * implementations on degenerate run-heavy corpora. The contract is
+ * deterministic and identical across engines, which is what makes the
+ * whole trainer value-level oracle-able in DuckDB: the oracle unrolls
+ * every round — pair counts, argmax with (freq DESC, l ASC, r ASC)
+ * tie-break, double replace — as plain SQL CTEs and must reproduce every
+ * merge and every final symbol count bit-for-bit.
  *
  * Each training round is one aggregation job over the dictionary plus a
  * 1-row collect (the argmax pair) — the same bounded driver-loop shape as

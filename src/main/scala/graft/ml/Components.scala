@@ -66,12 +66,16 @@ object Components {
     (spark.createDataFrame(rdd, df.schema), rdd)
   }
 
-  /** Driver fast-path ceiling: nodes + symmetrized-edge rows. 2M longs×3
-   *  ≈ 48 MB of driver arrays — bounded regardless of corpus size. Above
-   *  it (large banding graphs, big raster grids) the distributed loop
-   *  runs; below it, label propagation's per-round job overhead (~0.3 s ×
-   *  4–6 rounds even for a 200-node graph) dwarfs a union-find that
-   *  finishes in milliseconds. Override per session with
+  /** Driver fast-path ceiling: nodes + symmetrized-edge rows. Everything
+   *  that reaches the driver is a PRIMITIVE array (ids, a sorted index
+   *  copy, a flat u,v edge array, int parent/long comp arrays — collected
+   *  via RDD maps to primitives, so no Array[Row] or boxed HashMap is ever
+   *  materialized driver-side): at the 2M ceiling that is ≤ ~80 MB of flat
+   *  arrays, and the stated bound IS the actual peak driver allocation.
+   *  Above it (large banding graphs, big raster grids) the distributed
+   *  loop runs; below it, label propagation's per-round job overhead
+   *  (~0.3 s × 4–6 rounds even for a 200-node graph) dwarfs a union-find
+   *  that finishes in milliseconds. Override per session with
    *  `spark.graft.components.driverMax` (tests set 0 to force the
    *  distributed path). */
   val DriverMaxDefault = 2000000L
@@ -93,9 +97,12 @@ object Components {
       .getOrElse(DriverMaxDefault)
     if (ids.schema("id").dataType == org.apache.spark.sql.types.LongType &&
         idsRdd.count() + symRdd.count() <= driverMax) {
+      // collect as primitives through RDD maps: the driver receives flat
+      // Array[Long]s, never an Array[Row] of boxed objects (the transient
+      // boxing that used to triple the DriverMaxDefault sizing estimate)
       val out = driverComponents(nodes.sparkSession,
-        ids.collect().map(_.getLong(0)),
-        sym.collect().map(r => (r.getLong(0), r.getLong(1))))
+        idsRdd.map(_.getLong(0)).collect(),
+        symRdd.flatMap(r => Iterator(r.getLong(0), r.getLong(1))).collect())
       idsRdd.unpersist(blocking = false)
       symRdd.unpersist(blocking = false)
       return out
@@ -186,10 +193,22 @@ object Components {
    *  drops them the same way). */
   private def driverComponents(spark: org.apache.spark.sql.SparkSession,
                                idArr: Array[Long],
-                               edges: Array[(Long, Long)]): DataFrame = {
-    val idx = new java.util.HashMap[Long, Integer](idArr.length * 2)
+                               flatEdges: Array[Long]): DataFrame = {
+    // id -> dense index via a sorted copy + binary search: two primitive
+    // arrays instead of a HashMap<Long,Integer> of boxed entries, so the
+    // driver's peak allocation really is the flat arrays the ceiling sizes.
+    val sortedIds = idArr.clone()
+    java.util.Arrays.sort(sortedIds)
+    val sortedToOrig = new Array[Int](idArr.length)
     var i = 0
-    while (i < idArr.length) { idx.put(idArr(i), i); i += 1 }
+    while (i < idArr.length) {
+      sortedToOrig(java.util.Arrays.binarySearch(sortedIds, idArr(i))) = i
+      i += 1
+    }
+    def lookup(id: Long): Int = {
+      val p = java.util.Arrays.binarySearch(sortedIds, id)
+      if (p >= 0) sortedToOrig(p) else -1
+    }
     val parent = Array.tabulate(idArr.length)(identity)
     def find(x0: Int): Int = {
       var r = x0
@@ -198,12 +217,14 @@ object Components {
       while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.foreach { case (u, v) =>
-      val iu = idx.get(u); val iv = idx.get(v)
-      if (iu != null && iv != null) {
+    var e = 0
+    while (e < flatEdges.length) {
+      val iu = lookup(flatEdges(e)); val iv = lookup(flatEdges(e + 1))
+      if (iu >= 0 && iv >= 0) {
         val ru = find(iu); val rv = find(iv)
         if (ru != rv) parent(rv) = ru
       }
+      e += 2
     }
     val compMin = new Array[Long](idArr.length)
     java.util.Arrays.fill(compMin, Long.MaxValue)

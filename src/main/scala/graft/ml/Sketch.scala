@@ -70,12 +70,21 @@ object Sketch {
    * Exact heavy hitters: every item with count·k > total, with its exact
    * count. `itemCol` is read as string. Output: (item, cnt), one row per
    * heavy hitter.
+   *
+   * NULL items are EXCLUDED from the stream (SQL-aggregate semantics:
+   * they neither appear as candidates nor count toward `total`). Without
+   * the filter a null row would inflate `total` — raising the count·k >
+   * total bar for every real item — while never surviving as a candidate
+   * (`isin` can't match null), i.e. a corpus where NULL itself is heavy
+   * would be silently mis-thresholded. Callers who need the null group
+   * counted should map it to a sentinel value first.
    */
   def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val spark = items.sparkSession
     import spark.implicits._
-    val strs = items.select(col(itemCol).cast("string").as("value")).as[String]
+    val strs = items.filter(col(itemCol).isNotNull)
+      .select(col(itemCol).cast("string").as("value")).as[String]
     val partials = strs.mapPartitions(it => mgPartition(it, k)).collect()
     val total = partials.collect { case (_, _, n) if n > 0 => n }.sum
     val candidates = mgMerge(

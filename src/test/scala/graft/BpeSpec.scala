@@ -51,6 +51,19 @@ class BpeSpec extends AnyFunSuite {
     assert(repr == " aa aa ")
   }
 
+  test("golden: 6-run divergence from symbol-wise BPE is the pinned contract") {
+    // two literal-replace passes over ' a a a a a a ' leave [aa, a, aa, a]
+    // (4 symbols); Sennrich-style symbol-sequence merging would give
+    // [aa, aa, aa]. The divergence on runs >= 5 is an explicit, documented
+    // contract (Bpe scaladoc) — this golden keeps it from silently changing.
+    val docs = Seq((1L, "aaaaaa aaaaaa b")).toDF("doc_id", "text")
+    val (merges, trained) =
+      Bpe.train(Bpe.dictionary(docs, Derived.tokens(col("text"))), 1)
+    assert(merges.head.l == "a" && merges.head.r == "a" && merges.head.freq == 10L)
+    val repr = trained.filter(col("term") === "aaaaaa").head().getString(2)
+    assert(repr == " aa a aa a ")
+  }
+
   test("tokenize: per-doc symbol count shrinks by exactly the merge hits") {
     val docs = Seq(
       (1L, "abc abc xy"), // 3+3+2 chars -> after 'a b'->'ab': 2+2+2

@@ -46,6 +46,18 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("null items are excluded from candidates AND the total") {
+    // 300 nulls + alpha 40/beta 30/30 noise. Non-null total = 100; with
+    // k=3 alpha (40 > 100/3) qualifies. Counting nulls into the total
+    // (n=400, bar 133) would wrongly drop alpha.
+    val df = (Seq.fill(300)(null.asInstanceOf[String]) ++
+      Seq.fill(40)("alpha") ++ Seq.fill(30)("beta") ++
+      (0 until 30).map(i => s"n$i")).toDF("item").repartition(5)
+    val got = Sketch.heavyHitters(df, "item", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("alpha" -> 40L))
+  }
+
   test("cardinality above the counter budget still finds every heavy hitter") {
     // 40 distinct mid-weight items + 1 heavy, k = 4 counters: evictions
     // constantly churn the tiny summary, but the MG guarantee (an item with
