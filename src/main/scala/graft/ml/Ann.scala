@@ -400,16 +400,37 @@ object Ann {
     ivfPqAdc(spark.read.parquet(path), coarse, fine, query,
       probeLists(coarse, query, nprobe))
 
+  /** Buckets of `bucketed` (a [[lshBuckets]] output under any column
+   *  naming that keeps `bucket`) holding more than `cap` rows — the
+   *  non-discriminative set a capped pair join skips. */
+  private def hotBuckets(bucketed: DataFrame, cap: Int): DataFrame =
+    bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > cap).select(col("bucket"))
+
   /** Cross-set cosine matches (semantic decontamination / retrieval audit):
    *  every (left, right) pair sharing an LSH bucket with cosine >=
    *  threshold. Both inputs must be bucketed by the SAME [[lshBuckets]]
    *  hyperplanes; pairs only form inside a bucket (the scale path — the
    *  right set is typically an eval suite, but nothing here assumes it is
-   *  small). Output: (id1 from left, id2 from right, cos6). */
+   *  small). Output: (id1 from left, id2 from right, cos6).
+   *
+   *  `maxBucket`: skip buckets where EITHER side holds more than this many
+   *  vectors — the [[graft.ml.Dedup.minhashCandidates]] discriminativeness
+   *  bound: a bucket of A x B members forms A·B pairs, and a low-entropy
+   *  embedding set collapsing into one hyperplane cell otherwise goes
+   *  quadratic while carrying no similarity signal. None = exact bucketed
+   *  semantics (the x15 oracle path). */
   def cosineMatch(leftBucketed: DataFrame, rightBucketed: DataFrame,
-                  threshold: Double): DataFrame = {
-    val a = leftBucketed.select(col("vec_id").as("id1"), col("vec").as("v1"), col("bucket"))
-    val b = rightBucketed.select(col("vec_id").as("id2"), col("vec").as("v2"), col("bucket"))
+                  threshold: Double, maxBucket: Option[Int] = None): DataFrame = {
+    val a0 = leftBucketed.select(col("vec_id").as("id1"), col("vec").as("v1"), col("bucket"))
+    val b0 = rightBucketed.select(col("vec_id").as("id2"), col("vec").as("v2"), col("bucket"))
+    val (a, b) = maxBucket match {
+      case None => (a0, b0)
+      case Some(cap) =>
+        val hot = hotBuckets(a0, cap).unionByName(hotBuckets(b0, cap)).distinct()
+        (a0.join(broadcast(hot), Seq("bucket"), "left_anti"),
+          b0.join(broadcast(hot), Seq("bucket"), "left_anti"))
+    }
     a.join(b, Seq("bucket"))
       .withColumn("dot", aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x))
@@ -420,10 +441,23 @@ object Ann {
   }
 
   /** Near-duplicate pairs by cosine >= threshold, LSH-bucketed self-join
-   *  (exact within a bucket; recall governed by nBits). */
-  def cosinePairs(bucketed: DataFrame, threshold: Double): DataFrame = {
-    val a = bucketed.select(col("vec_id").as("id1"), col("vec").as("v1"), col("bucket"))
-    val b = bucketed.select(col("vec_id").as("id2"), col("vec").as("v2"), col("bucket"))
+   *  (exact within a bucket; recall governed by nBits).
+   *
+   *  `maxBucket`: skip buckets holding more than this many vectors — see
+   *  [[cosineMatch]]; a bucket of B vectors forms B(B-1)/2 pairs, so one
+   *  degenerate all-same-signature corpus otherwise dominates the join
+   *  quadratically. None = exact bucketed semantics (the e4 oracle path). */
+  def cosinePairs(bucketed: DataFrame, threshold: Double,
+                  maxBucket: Option[Int] = None): DataFrame = {
+    val base = maxBucket match {
+      case None => bucketed
+      case Some(cap) =>
+        bucketed.join(broadcast(hotBuckets(
+          bucketed.select(col("vec_id"), col("bucket")), cap)),
+          Seq("bucket"), "left_anti")
+    }
+    val a = base.select(col("vec_id").as("id1"), col("vec").as("v1"), col("bucket"))
+    val b = base.select(col("vec_id").as("id2"), col("vec").as("v2"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
       .withColumn("dot", aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x))

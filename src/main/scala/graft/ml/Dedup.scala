@@ -249,6 +249,62 @@ object Dedup {
         graft.sources.Derived.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), posexplode(spans(col("toks"), k)).as(Seq("pos", "span")))
 
+  /** Conf key for the hot-span occurrence threshold used by
+   *  [[joinSpanStats]] (spans at or above it take the broadcast path). */
+  val HotSpanConfKey = "spark.graft.span.hotThreshold"
+  val HotSpanDefault = 65536L
+
+  /**
+   * Per-occurrence span statistics WITHOUT a span-keyed window — the
+   * hot-key-safe core shared by [[spanDupStats]] and [[spanRemove]].
+   *
+   * The naive `Window.partitionBy(span)` puts every occurrence of a span in
+   * ONE task: a mega-hot boilerplate span (a license header's k-gram
+   * repeated 10^8–10^9 times in a web crawl) serializes the whole stage.
+   * Instead:
+   *
+   *  1. stats = groupBy(xxhash64(span), span).agg(...) — map-side partial
+   *     aggregation compacts a hot span to <= numPartitions partial rows,
+   *     so the reduce side never sees the raw fan-in. The xxhash64 prefix
+   *     keeps sort/merge comparisons on longs; the raw span stays in the
+   *     key so the result is EXACT under hash collisions (a pure-hash key
+   *     is the lossy-ok production shrink, not taken here — the DuckDB
+   *     oracle shares the raw string).
+   *  2. HOT spans (n_occ >= `spark.graft.span.hotThreshold`, default 65536)
+   *     are broadcast and joined map-side — their occurrences NEVER enter a
+   *     shuffle keyed on the span. The hot set is an aggregate bounded by
+   *     totalOccurrences / threshold rows (Zipf corpora: a handful), and
+   *     Spark fails loudly if an adversarial corpus overflows the broadcast
+   *     budget — lower the threshold trades broadcast size for cold-join
+   *     partition width.
+   *  3. COLD occurrences are filtered through a broadcast anti-join on the
+   *     hot keys (map-side — the hot fan-in is dropped before the exchange)
+   *     and shuffle-join the cold stats on (hash, span), where every key
+   *     now has < threshold rows by construction.
+   *
+   * Cost: the span explode is evaluated once per plan branch (stats / hot /
+   * cold — it is linear, embarrassingly parallel, and much cheaper than
+   * materializing the k-times-corpus-sized span table); the stats exchange
+   * is planned once and reused across the hot/cold filters (ReuseExchange).
+   *
+   * `statAggs` must include `count(lit(1)).as("n_occ")`. Output: the input
+   * occurrence rows plus the per-span aggregate columns.
+   */
+  private def joinSpanStats(sp: DataFrame, statAggs: Seq[Column]): DataFrame = {
+    val hotT = sp.sparkSession.conf
+      .getOption(HotSpanConfKey).map(_.toLong).getOrElse(HotSpanDefault)
+    val spH = sp.withColumn("sh", xxhash64(col("span")))
+    val stats = spH.groupBy(col("sh"), col("span"))
+      .agg(statAggs.head, statAggs.tail: _*)
+    val hot = stats.filter(col("n_occ") >= hotT)
+    val cold = stats.filter(col("n_occ") < hotT)
+    val hotJoined = spH.join(broadcast(hot), Seq("sh", "span"))
+    val coldJoined = spH
+      .join(broadcast(hot.select(col("sh"), col("span"))), Seq("sh", "span"), "left_anti")
+      .join(cold, Seq("sh", "span"))
+    hotJoined.unionByName(coldJoined).drop("sh")
+  }
+
   /**
    * Exact duplicated-span statistics — the ExactSubstr dedup signal of
    * "Deduplicating Training Data Makes Language Models Better" (Lee et al.
@@ -260,22 +316,18 @@ object Dedup {
    * dup_cov counts the token positions covered by at least one duplicated
    * span (the merged-interval union a span remover would cut).
    *
-   * Scale: the span explode is linear in corpus tokens (k-bounded strings;
-   * production keys the shuffle on xxhash64(span) — here the raw string,
-   * which the DuckDB oracle shares). Two shuffles: the span-count groupBy
-   * (map-side partial agg absorbs hot boilerplate spans) and the per-doc
-   * aggregate. The dup-occurrence equi-join is span-keyed; a mega-hot
-   * boilerplate span makes one key hot — cap it like minhashCandidates'
-   * maxBucket or salt via graft.pipeline.Skew. The coverage explode is
-   * bounded by k x occurrences.
+   * Scale: the span explode is linear in corpus tokens (k-bounded strings).
+   * The occurrence count comes from [[joinSpanStats]] — a two-phase
+   * aggregate whose map-side combine absorbs hot boilerplate spans and
+   * whose hot/cold split keeps a mega-hot span's occurrences out of any
+   * span-keyed shuffle entirely (see its scaladoc; ScaleSpan's hot case
+   * proves a single 10^6-occurrence span stays linear). The per-doc window
+   * below is doc-bounded, never span-bounded.
    */
   def spanDupStats(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sp = spanTable(docs, idCol, textCol, k)
-    // one shuffle on span: the occurrence count as a window, no self-join
-    // (the join form recomputes the span explode once per plan branch)
-    val dupOcc = sp
-      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("span"))))
+    val dupOcc = joinSpanStats(sp, Seq(count(lit(1)).as("n_occ")))
       .filter(col("n_occ") >= 2)
     // merged-interval coverage as a running-max window over each doc's
     // dup-span starts — O(occurrences), vs the k-fold position explode +
@@ -311,22 +363,19 @@ object Dedup {
    * from the surviving tokens in order. Output, one row per input doc:
    *   (doc_id, text_dedup, n_cut)
    *
-   * Scale: the same two span shuffles as [[spanDupStats]] plus the per-doc
-   * token re-assembly groupBy — its collect_list is bounded by document
-   * length, the floor any per-document text transform pays. The rebuilt
-   * text is deterministic (positions sorted), so the operator is exactly
+   * Scale: the occurrence count and keeper key come from [[joinSpanStats]]
+   * (hot-key-safe two-phase aggregate — a mega-hot boilerplate span never
+   * lands in one task; see its scaladoc), plus the per-doc token
+   * re-assembly groupBy — its collect_list is bounded by document length,
+   * the floor any per-document text transform pays. The rebuilt text is
+   * deterministic (positions sorted), so the operator is exactly
    * reproducible cross-engine.
    */
   def spanRemove(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val enc = lit(1L << SpanPosBits)
     val sp = spanTable(docs, idCol, textCol, k)
-    // one shuffle on span: occurrence count + keeper key in the same window
-    // pass (the groupBy+join form recomputes the span explode per branch)
-    val wSpan = Window.partitionBy(col("span"))
-    val cut = sp
-      .withColumn("n_occ", count(lit(1)).over(wSpan))
-      .withColumn("keep_key", min(col("doc_id") * enc + col("pos")).over(wSpan))
+    val cut = joinSpanStats(sp, Seq(count(lit(1)).as("n_occ"),
+        min(col("doc_id") * enc + col("pos")).as("keep_key")))
       .filter(col("n_occ") >= 2 &&
         col("doc_id") * enc + col("pos") =!= col("keep_key"))
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
@@ -397,15 +446,34 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates: any equal 16-bit band (pigeonhole-exact
-   *  for hamming distance <= 3); refined by exact hamming via bit_count. */
-  def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+   *  for hamming distance <= 3); refined by exact hamming via bit_count.
+   *
+   *  `maxBucket`: skip 16-bit band buckets holding more than this many
+   *  docs — the same discriminativeness bound as [[minhashCandidates]]'s
+   *  cap (a bucket of B docs forms B(B-1)/2 pairs; a low-entropy corpus
+   *  collapsing into a few band keys otherwise goes quadratic, exactly the
+   *  degenerate case BENCH.md's ScaleThumb run measured for perceptual
+   *  bands). True near-dups collide in several of the 4 independent bands,
+   *  so they survive unless every one of their buckets is hot. None =
+   *  exact banding semantics (the d4 oracle path). */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int,
+                   maxBucket: Option[Int] = None): DataFrame = {
     val bands = (0 until 4).map(b =>
       sigs.select(col("doc_id"), lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("band_key"),
         col("simhash")))
       .reduce(_ unionByName _)
-    bands.toDF("id1", "band", "band_key", "sh1")
-      .join(bands.toDF("id2", "band", "band_key", "sh2"), Seq("band", "band_key"))
+    val admitted = maxBucket match {
+      case None => bands
+      case Some(cap) =>
+        val ok = bands.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
+          .select(col("band"), col("band_key"))
+        bands.join(ok, Seq("band", "band_key"))
+          .select(col("doc_id"), col("band"), col("band_key"), col("simhash"))
+    }
+    admitted.toDF("id1", "band", "band_key", "sh1")
+      .join(admitted.toDF("id2", "band", "band_key", "sh2"), Seq("band", "band_key"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))

@@ -65,6 +65,36 @@ object ScaleSpan {
       println(s"SPANSCALE reps=$r spanOcc=${t.getLong(0)} " +
         s"dupOcc=${t.getLong(1)} hottestSpan=${t.getLong(2)}")
     }
+
+    // ---- the hot-span worst case: ONE span at >= 10^6 occurrences --------
+    // A mega-hot boilerplate k-gram (license header) is the skew the old
+    // Window.partitionBy(span) form serialized into one task. Synthetic
+    // corpus: H tiny docs, each contributing exactly one occurrence of the
+    // same 5-gram plus one unique tail span. Linearity check: H and 2H.
+    import spark.implicits._
+    for (h <- Seq(500000L, 1000000L)) {
+      val hotDocs = spark.range(h).select(
+        (col("id") + 1000000000L).as("doc_id"),
+        concat(lit("lorem ipsum dolor sit amet tail"),
+          col("id").cast("string")).as("text"))
+        .repartition(64).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val stat = Dedup.spanDupStats(hotDocs, "doc_id", "text", 5)
+        .agg(sum(col("dup_cov")).as("cov"), sum(col("dup_spans")).as("ds")).head()
+      val statWall = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val cut = Dedup.spanRemove(hotDocs, "doc_id", "text", 5)
+        .agg(sum(col("n_cut")).as("cut"), sum(length(col("text_dedup"))).as("len")).head()
+      val cutWall = (System.nanoTime() - t1) / 1e9
+      // every doc's pos-0 span is THE hot span (h occurrences, all dup);
+      // the pos-1 span (".. amet tailN") is unique -> dup_spans per doc = 1,
+      // coverage = 5 tokens; spanRemove keeps only the first doc's copy.
+      assert(stat.getLong(1) == h, s"expected $h dup spans, got ${stat.getLong(1)}")
+      assert(stat.getLong(0) == 5L * h, s"expected cov ${5 * h}, got ${stat.getLong(0)}")
+      assert(cut.getLong(0) == 5L * (h - 1), s"expected cut ${5 * (h - 1)}")
+      println(f"SPANHOT docs=$h hotOcc=$h spanDupStats=$statWall%.1f s " +
+        f"spanRemove=$cutWall%.1f s (cov=${stat.getLong(0)} cut=${cut.getLong(0)})")
+    }
     spark.stop()
   }
 }

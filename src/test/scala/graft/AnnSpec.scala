@@ -127,6 +127,33 @@ class AnnSpec extends AnyFunSuite {
     bucketed.unpersist()
   }
 
+  test("cosinePairs/cosineMatch maxBucket: degenerate one-bucket corpus is bounded") {
+    // 8 identical vectors collapse into ONE lsh bucket (28 pairs uncapped);
+    // a near-dup pair in a different direction lives in a size-2 bucket
+    // and must survive the cap — the minhashCandidates discriminativeness
+    // bound ported to the embedding joins
+    import spark.implicits._
+    val hot = (10L to 17L).map(i => (i, Seq(1.0f, 0.1f, 0.0f, 0.2f)))
+    val vecs = (hot ++ Seq(
+      (1L, Seq(-0.9f, 0.05f, 0.8f, -0.6f)),
+      (2L, Seq(-0.89f, 0.06f, 0.81f, -0.61f)))).toDF("vec_id", "embedding")
+    val bucketed = Ann.lshBuckets(vecs, "vec_id", "embedding", nBits = 6, dim = 4).cache()
+    try {
+      val uncapped = Ann.cosinePairs(bucketed, 0.99)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(uncapped.contains((10L, 11L)) && uncapped.contains((1L, 2L)))
+      val capped = Ann.cosinePairs(bucketed, 0.99, maxBucket = Some(4))
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped == Set((1L, 2L)), s"expected only the sparse pair, got $capped")
+      // cross-set form: hot bucket skipped when EITHER side overflows the cap
+      val left = bucketed.filter(col("vec_id") =!= 2L && col("vec_id") =!= 11L)
+      val right = bucketed.filter(col("vec_id") === 2L || col("vec_id") === 11L)
+      val m = Ann.cosineMatch(left, right, 0.99, maxBucket = Some(4))
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(m == Set((1L, 2L)), s"expected only the sparse cross pair, got $m")
+    } finally bucketed.unpersist()
+  }
+
   test("IVF-PQ: code shape, list spread, determinism, self-match at full probe") {
     val (index, coarse, fine) =
       Ann.ivfPqIndex(emb, "vec_id", "embedding", 4, 2, 8, 16, 2)

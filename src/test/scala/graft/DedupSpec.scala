@@ -241,6 +241,54 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == (("hi", 0L)))
   }
 
+  test("span hot path: forced-hot threshold reproduces the cold path exactly") {
+    // hotThreshold=2 routes EVERY duplicated span through the broadcast hot
+    // path; outputs must be bit-identical to the default (cold-join) path
+    val d = Seq(
+      (1L, "a b c a b c"),
+      (2L, "x y z w q"),
+      (3L, "p p x y z"),
+      (4L, "one two")
+    ).toDF("doc_id", "text")
+    def snap() = (
+      Dedup.spanDupStats(d, "doc_id", "text", 3).collect().map(_.toSeq).toSet,
+      Dedup.spanRemove(d, "doc_id", "text", 3).collect().map(_.toSeq).toSet)
+    val cold = snap()
+    spark.conf.set(Dedup.HotSpanConfKey, "2")
+    try assert(snap() == cold)
+    finally spark.conf.unset(Dedup.HotSpanConfKey)
+  }
+
+  test("spanRemove plan has no span-keyed window (the hot-key hazard)") {
+    // the old form computed n_occ/keep_key with Window.partitionBy(span) —
+    // one task per span. The two-phase aggregate must leave NO window in
+    // the plan at all (spanRemove has no other window).
+    val d = Seq((1L, "a b c a b c"), (2L, "x y z w")).toDF("doc_id", "text")
+    val plan = Dedup.spanRemove(d, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"span-keyed window still present:\n$plan")
+  }
+
+  test("simhashPairs maxBucket: degenerate all-identical corpus is bounded") {
+    // 6 identical docs collapse into ONE signature -> every 16-bit band
+    // bucket holds 6 docs (15 pairs x 4 bands uncapped); a separate
+    // identical pair lives in size-2 buckets and must survive the cap
+    val hot = (10L to 15L).map(i => (i, "zzz qqq rrr sss identical hot text"))
+    val all = (hot ++ Seq(
+      (1L, "completely different pair document"),
+      (2L, "completely different pair document"))).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(all, "doc_id", "text").cache()
+    try {
+      val uncapped = Dedup.simhashPairs(sigs, maxHamming = 3)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(uncapped.contains((10L, 11L)) && uncapped.contains((1L, 2L)))
+      val capped = Dedup.simhashPairs(sigs, maxHamming = 3, maxBucket = Some(4))
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped.contains((1L, 2L)), "sparse-bucket pair must survive the cap")
+      assert(!capped.exists(_._1 >= 10L), "hot-bucket pairs must be skipped")
+    } finally sigs.unpersist()
+  }
+
   test("decontaminate: overlap with the bench set flags; hits count distinct spans") {
     val train = Seq(
       (1L, "the quick brown fox jumps"), // shares "the quick brown" + "quick brown fox" + "brown fox jumps"
