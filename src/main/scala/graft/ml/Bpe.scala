@@ -31,11 +31,25 @@ import org.apache.spark.sql.functions._
  * tie-break, double replace — as plain SQL CTEs and must reproduce every
  * merge and every final symbol count bit-for-bit.
  *
- * Each training round is one aggregation job over the dictionary plus a
- * 1-row collect (the argmax pair) — the same bounded driver-loop shape as
- * [[Ann.pqCentroids]]'s Lloyd rounds. At 100 TB the dictionary is still
- * vocabulary-sized (tens of millions of rows at worst), so rounds cost
- * seconds, not corpus scans.
+ * TWO merge-loop paths, bit-identical by construction (parity-spec'd in
+ * BpeSpec) and chosen by dictionary size:
+ *
+ *  - DRIVER loop (dictionaries at or under `spark.graft.bpe.driverDictMax`
+ *    rows, default 4M — the common case: a vocabulary is corpus-size-
+ *    independent): the (term, freq, repr) dictionary is collected ONCE and
+ *    the merge rounds run in memory, SentencePiece-style — an incremental
+ *    pair-count table plus a pair→terms occurrence index, so each round
+ *    re-scans only the terms the winning merge actually touches. ZERO
+ *    Spark jobs per round; 30k–50k production merge counts cost seconds
+ *    (ScaleBpe: 1,000 merges over a 200k-term dictionary, BENCH.md).
+ *    Argmax tie-break compares strings as UTF-8 BYTES — Spark's and
+ *    DuckDB's binary string order, not Java's UTF-16 order.
+ *  - DISTRIBUTED loop (past the threshold — a vocabulary too big to
+ *    collect): one aggregation job over the dictionary plus a 1-row
+ *    collect (the argmax pair) per round — the same bounded driver-loop
+ *    shape as [[Ann.pqCentroids]]'s Lloyd rounds. Rounds cost seconds,
+ *    never corpus scans, but 30k sequential jobs is the wrong tool when
+ *    the dictionary fits the driver — hence the threshold.
  */
 object Bpe {
 
@@ -71,16 +85,32 @@ object Bpe {
       .groupBy(col("term")).agg(count(lit(1)).as("freq"))
       .withColumn("repr", charRepr(col("term")))
 
+  /** Conf key for the driver-loop dictionary ceiling (rows). */
+  val DriverDictMaxKey = "spark.graft.bpe.driverDictMax"
+
+  /** 4M (term, freq, repr) rows ≈ low single-digit GB of driver heap with
+   *  string overheads — comfortably under the driver budget, far above any
+   *  real tokenizer-training vocabulary. */
+  val DriverDictMaxDefault = 4000000L
+
   /**
    * Train `rounds` merges over a (term, freq, repr) dictionary. Returns the
    * merge table and the final dictionary (repr rewritten by every merge).
-   * The dictionary is materialized once up front; each round's plan is the
-   * checkpointed dict plus `2*round` literal replaces — vocabulary-scale
-   * work per round, never corpus-scale.
+   * Dictionaries at or under `spark.graft.bpe.driverDictMax` rows take the
+   * in-memory driver loop; larger ones the per-round distributed loop —
+   * see the class doc. Both paths are bit-identical (BpeSpec parity).
    */
   def train(dict: DataFrame, rounds: Int): (Seq[Merge], DataFrame) = {
-    var cur = dict.select(col("term"), col("freq"), col("repr"))
+    val cur = dict.select(col("term"), col("freq"), col("repr"))
       .localCheckpoint(true)
+    val maxDriver = cur.sparkSession.conf.getOption(DriverDictMaxKey)
+      .map(_.toLong).getOrElse(DriverDictMaxDefault)
+    if (cur.count() <= maxDriver) trainDriver(cur, rounds)
+    else trainDistributed(cur, rounds)
+  }
+
+  private def trainDistributed(dict: DataFrame, rounds: Int): (Seq[Merge], DataFrame) = {
+    var cur = dict
     val merges = Seq.newBuilder[Merge]
     for (rank <- 1 to rounds) {
       val top = cur
@@ -96,6 +126,88 @@ object Bpe {
       }
     }
     (merges.result(), cur)
+  }
+
+  /** a < b in UTF-8 byte order — Spark's (UTF8String) and DuckDB's string
+   *  comparison, which differs from Java's UTF-16 `compareTo` for
+   *  supplementary characters. The driver argmax must match the engines'
+   *  `ORDER BY l ASC, r ASC` bit-for-bit. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /**
+   * In-memory merge loop over the collected dictionary: pair counts are
+   * maintained INCREMENTALLY (each merge retracts/re-adds only the terms
+   * whose repr contains the winning pair, found via a pair→terms index),
+   * so round cost is proportional to the merge's footprint, not the
+   * vocabulary. Pair counting, the (freq DESC, l, r UTF-8 ASC) argmax and
+   * the double literal replace reproduce the distributed path exactly:
+   * java.lang.String.replace is the same literal left-to-right
+   * non-overlapping scan as Spark's StringReplace.
+   */
+  private def trainDriver(dict: DataFrame, rounds: Int): (Seq[Merge], DataFrame) = {
+    import scala.collection.mutable
+    val spark = dict.sparkSession
+    val rows = dict.collect()
+    val terms = rows.map(_.getString(0))
+    val freqs = rows.map(_.getLong(1))
+    val reprs = rows.map(_.getString(2))
+    val cnt = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def pairsOf(repr: String): Array[(String, String)] = {
+      val s = repr.split(" ").filter(_.nonEmpty)
+      Array.tabulate(math.max(0, s.length - 1))(i => (s(i), s(i + 1)))
+    }
+    def add(i: Int): Unit = {
+      val ps = pairsOf(reprs(i))
+      ps.foreach(p => cnt.update(p, cnt.getOrElse(p, 0L) + freqs(i)))
+      ps.distinct.foreach(p => where.getOrElseUpdate(p, mutable.HashSet.empty) += i)
+    }
+    def retract(i: Int): Unit = {
+      val ps = pairsOf(reprs(i))
+      ps.foreach { p =>
+        val c = cnt(p) - freqs(i)
+        if (c == 0L) cnt.remove(p) else cnt.update(p, c)
+      }
+      ps.distinct.foreach { p =>
+        val s = where(p); s -= i; if (s.isEmpty) where.remove(p)
+      }
+    }
+    reprs.indices.foreach(add)
+    val merges = Seq.newBuilder[Merge]
+    for (rank <- 1 to rounds if cnt.nonEmpty) {
+      var best: (String, String) = null
+      var bestC = Long.MinValue
+      cnt.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC &&
+            (utf8Lt(p._1, best._1) || (p._1 == best._1 && utf8Lt(p._2, best._2)))))
+          { best = p; bestC = c }
+      }
+      val (l, r) = best
+      merges += Merge(rank, l, r, bestC)
+      val from = s" $l $r "
+      val to = s" $l$r "
+      // toArray: the retract/add below mutate `where` while we iterate
+      where.getOrElse(best, mutable.HashSet.empty).toArray.foreach { i =>
+        retract(i)
+        reprs(i) = reprs(i).replace(from, to).replace(from, to)
+        add(i)
+      }
+    }
+    import spark.implicits._
+    val out = terms.indices.map(i => (terms(i), freqs(i), reprs(i)))
+      .toDF("term", "freq", "repr")
+    (merges.result(), out)
   }
 
   /** Dictionaries under this row count broadcast for the tokenize join;

@@ -90,4 +90,38 @@ class BpeSpec extends AnyFunSuite {
     assert(mS.map(m => (m.l, m.r)) == mB.map(m => (m.l, m.r)))
     assert(mB.map(_.freq) == mS.map(_.freq * 50))
   }
+
+  test("driver and distributed merge loops are bit-identical") {
+    // run-heavy + tie-heavy corpus to exercise the double-replace and the
+    // (freq DESC, l, r ASC) tie-break on both paths; 8 rounds exhausts
+    // several pair generations
+    val docs = Seq(
+      (1L, "abc abc abc abd aaaa xy xy"),
+      (2L, "abcd abcd aaaaaa cd cd ab"),
+      (3L, "zz zz zz yy yy xy abc")
+    ).toDF("doc_id", "text")
+    val dict = Bpe.dictionary(docs, Derived.tokens(col("text")))
+    def snap(t: (Seq[Bpe.Merge], org.apache.spark.sql.DataFrame)) =
+      (t._1, t._2.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq)
+    val driver = snap(Bpe.train(dict, 8)) // default threshold: driver path
+    spark.conf.set(Bpe.DriverDictMaxKey, "0") // force distributed
+    val dist = try snap(Bpe.train(dict, 8))
+               finally spark.conf.unset(Bpe.DriverDictMaxKey)
+    assert(driver._1 == dist._1, "merge sequences diverge between paths")
+    assert(driver._2 == dist._2, "final dictionaries diverge between paths")
+  }
+
+  test("driver loop: rounds past pair exhaustion are no-ops on both paths") {
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val dict = Bpe.dictionary(docs, Derived.tokens(col("text")))
+    val (m, trained) = Bpe.train(dict, 50) // far more rounds than pairs
+    assert(m.size < 50 && m.nonEmpty)
+    val reprs = trained.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(reprs("ab") == " ab " && reprs("cd") == " cd ")
+    spark.conf.set(Bpe.DriverDictMaxKey, "0")
+    val (mD, _) = try Bpe.train(dict, 50)
+                  finally spark.conf.unset(Bpe.DriverDictMaxKey)
+    assert(m == mD)
+  }
 }
