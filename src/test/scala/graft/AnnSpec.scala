@@ -207,6 +207,58 @@ class AnnSpec extends AnyFunSuite {
     assert(pf.contains("list"), s"list probe not a partition filter:\n$plan")
   }
 
+  test("AnnStore: fresh-session IVF-PQ probe serves from disk with zero training jobs") {
+    import graft.ml.AnnStore
+    val dir = "/tmp/graft-test-annstore"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val (index, coarse, fine) =
+      Ann.ivfPqIndex(emb, "vec_id", "embedding", 4, 2, 8, 16, 2)
+    AnnStore.writeIvfPq(spark, dir, index, coarse, fine)
+    AnnStore.writeIvfPq(spark, dir, index, coarse, fine) // idempotent no-op
+
+    // fresh session: nothing cached, no driver arrays — the reference
+    // server lifecycle (load, never rebuild)
+    val fresh = spark.newSession()
+    val (c2, f2) = AnnStore.loadCodebooks(fresh, dir)
+    assert(c2.map(_.toSeq).toSeq == coarse.map(_.toSeq).toSeq)
+    assert(f2.map(_.map(_.toSeq).toSeq).toSeq == fine.map(_.map(_.toSeq).toSeq).toSeq)
+
+    // count jobs during the serve: codebook collects + pruned scan only —
+    // a retrain would run dozens of k-means jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val served = try {
+      val df = AnnStore.ivfPqFromStore(fresh, dir, query, nprobe = 2)
+      val rows = df.select(col("vec_id"), col("adc")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      Thread.sleep(500) // let the async listener bus drain job-start events
+      (df, rows)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() <= 8, s"fresh-session probe ran ${jobs.get()} jobs — retraining?")
+
+    val mem = Ann.ivfPqAdc(index, coarse, fine, query, Ann.probeLists(coarse, query, 2))
+      .select(col("vec_id"), col("adc")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served._2 == mem)
+    val plan = served._1.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("list"), s"list probe not a partition filter:\n$plan")
+
+    // plain-IVF store round-trip: from-store == in-memory probe
+    val cents = Ann.ivfCentroids(emb, "vec_id", "embedding", 8, 2)
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", cents)
+    AnnStore.writeIvf(spark, dir, assigned, cents)
+    val diskIvf = AnnStore.ivfFromStore(fresh, dir, query, k = 10, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val memIvf = Ann.ivfTopK(assigned, cents, query, k = 10, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(diskIvf == memIvf)
+  }
+
   test("residual PQ reconstructs better than flat PQ (the point of IVF-PQ)") {
     val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
