@@ -537,6 +537,28 @@ object MlQueries {
           col("p9_10").as("p90"), col("p99_100").as("p99"))
         .orderBy(col("grp"))),
 
+    // X16: exact per-language quantiles over a CONTINUOUS quality score —
+    // the general (unbounded-domain) path x14's bounded-integer histogram
+    // contract cannot serve. The cumulative count comes from a Packing-
+    // style two-pass distributed prefix scan over the (group, value)
+    // histogram, so no window ever partitions by the group over raw rows
+    // (plan-asserted in SketchSpec). The score is q6-quantized before the
+    // quantile purely for cross-engine float determinism (~10^6-point
+    // domain — decisively past any bounded-histogram contract); outputs
+    // requantize the selected double for hash-stable compare.
+    "x16_quantiles_general" -> ((s, dir) =>
+      TextStats.groupQuantilesGeneral(
+          docs(s, dir).select(
+            TextStats.langIdCol(col("text")).as("lang"),
+            (Derived.q6(TextStats.qualityScoreCol(col("text"))).cast("double") / 1e6)
+              .as("score")),
+          "lang", "score", Seq((1, 2), (9, 10), (99, 100)))
+        .select(col("lang"), col("n"),
+          Derived.q6(col("p1_2")).as("p50_6"),
+          Derived.q6(col("p9_10")).as("p90_6"),
+          Derived.q6(col("p99_100")).as("p99_6"))
+        .orderBy(col("lang"))),
+
     // X13: exact heavy hitters via a mergeable Misra-Gries sketch + exact
     // verify rescan — the full-cardinality groupBy never happens (pass 1
     // moves <= k rows per partition to the driver, pass 2 shuffles only
@@ -1441,6 +1463,22 @@ object MlQueries {
          |  CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS BIGINT) AS p90,
          |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN v END) AS BIGINT) AS p99
          |FROM cu GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    "x16_quantiles_general" ->
+      s"""WITH q AS (SELECT ${TextStats.langIdSqlCase("text")} AS lang,
+         |    CAST(${Derived.q6Sql(TextStats.qualityScoreSql("text"))} AS DOUBLE)
+         |      / 1000000 AS v
+         |  FROM documents),
+         |h AS (SELECT lang, v, COUNT(*) AS c FROM q GROUP BY 1, 2),
+         |t AS (SELECT lang, SUM(c) AS n FROM h GROUP BY 1),
+         |cu AS (SELECT h.lang, v,
+         |    SUM(c) OVER (PARTITION BY h.lang ORDER BY v) AS cum, n
+         |  FROM h JOIN t USING (lang))
+         |SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+         |  ${Derived.q6Sql("MIN(CASE WHEN cum * 2 >= n * 1 THEN v END)")} AS p50_6,
+         |  ${Derived.q6Sql("MIN(CASE WHEN cum * 10 >= n * 9 THEN v END)")} AS p90_6,
+         |  ${Derived.q6Sql("MIN(CASE WHEN cum * 100 >= n * 99 THEN v END)")} AS p99_6
+         |FROM cu GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "x13_heavy_terms" ->
       s"""WITH ${Derived.docTermsSqlCte},

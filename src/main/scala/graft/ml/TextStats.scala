@@ -90,15 +90,25 @@ object TextStats {
       Derived.q4(qualityScoreCol(t)).as("quality4"))
   }
 
+  /** DuckDB twin of [[qualityScoreCol]] (the raw double score). */
+  def qualityScoreSql(textExpr: String): String = {
+    val toks = Derived.tokensSql(textExpr)
+    val nTok = s"CAST(len($toks) AS DOUBLE)"
+    val punct = s"(len(regexp_extract_all($textExpr, '[.!?,;:]')) / greatest(CAST(len($textExpr) AS DOUBLE), 1.0))"
+    val digit = s"(len(regexp_extract_all($textExpr, '[0-9]')) / greatest(CAST(len($textExpr) AS DOUBLE), 1.0))"
+    val en = Stopwords.head._2.map(w => s"'$w'").mkString(",")
+    val sw = s"(CASE WHEN $nTok > 0 THEN len(list_filter($toks, t -> t IN ($en))) / $nTok ELSE 0.0 END)"
+    s"least(1.0, 0.25*$sw + 0.25*(1.0-$punct) + 0.25*(1.0-$digit) + 0.25*least(1.0, $nTok/64.0))"
+  }
+
   def qualitySqlSelect(textExpr: String): Seq[String] = {
     val toks = Derived.tokensSql(textExpr)
     val nTok = s"CAST(len($toks) AS DOUBLE)"
     val meanLen = s"(CASE WHEN $nTok > 0 THEN list_sum(list_transform($toks, x -> len(x))) / $nTok ELSE 0.0 END)"
     val punct = s"(len(regexp_extract_all($textExpr, '[.!?,;:]')) / greatest(CAST(len($textExpr) AS DOUBLE), 1.0))"
-    val digit = s"(len(regexp_extract_all($textExpr, '[0-9]')) / greatest(CAST(len($textExpr) AS DOUBLE), 1.0))"
     val en = Stopwords.head._2.map(w => s"'$w'").mkString(",")
     val sw = s"(CASE WHEN $nTok > 0 THEN len(list_filter($toks, t -> t IN ($en))) / $nTok ELSE 0.0 END)"
-    val score = s"least(1.0, 0.25*$sw + 0.25*(1.0-$punct) + 0.25*(1.0-$digit) + 0.25*least(1.0, $nTok/64.0))"
+    val score = qualityScoreSql(textExpr)
     Seq(
       s"CAST($nTok AS BIGINT) AS n_tokens",
       s"${Derived.q4Sql(meanLen)} AS mean_len4",
@@ -320,5 +330,74 @@ object TextStats {
     }
     val aggs = max(col("n")).as("n") +: qs
     cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Exact per-group quantiles over an UNBOUNDED (continuous) value domain —
+   * the general path [[groupQuantiles]]'s bounded-integer contract can't
+   * serve. Same nearest-rank semantics (value at rank ceil(p·n), tested as
+   * cum·den >= n·num in integer count arithmetic — the VALUE stays a
+   * double, only counts are integers), different cumulative machinery:
+   *
+   *  1. value histogram groupBy(group, v) — with continuous values this can
+   *     stay raw-data-sized, which is fine for a SHUFFLE (distributed) but
+   *     fatal for a per-group window (one task per group);
+   *  2. the cumulative count comes from [[Packing]]'s two-pass distributed
+   *     prefix scan instead of `Window.partitionBy(group)`: range-partition
+   *     the histogram by (group, v) and materialize ONCE (partition ids are
+   *     only meaningful against one concrete shuffle output), aggregate
+   *     per-(partition, group) subtotals — at most numPartitions + groups
+   *     rows, corpus-size-independent — and prefix/total them via a self-join
+   *     over THAT tiny table; per-partition running sums then run fully
+   *     parallel (window keyed by (pid, group): bounded by the range
+   *     partition's size, never by a group's);
+   *  3. the subtotal table broadcast-joins back, and the final selection is
+   *     one groupBy(group) aggregate.
+   *
+   * A mega-group spanning the whole corpus is split across range partitions
+   * — no task ever owns more than one partition's slice of it (spec'd via
+   * a plan assertion: every Window partitions by pid). NULL values are
+   * excluded (SQL aggregate convention); NaN is not supported (Spark and
+   * DuckDB order NaN differently). Output: (group, n, p<num>_<den>... as
+   * double).
+   */
+  def groupQuantilesGeneral(df: DataFrame, groupCol: String, valueCol: String,
+                            ps: Seq[(Int, Int)], numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall { case (nu, de) => nu > 0 && nu <= de },
+      s"quantiles must be rationals in (0, 1]: $ps")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val ranged = hist.repartitionByRange(n, col("grp"), col("v"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    // per-(partition, group) subtotals: <= numPartitions + groups rows (a
+    // range partition holds a contiguous run of groups), so the windows
+    // below are over a bounded table, not the data
+    val partials = ranged.groupBy(col("pid"), col("grp")).agg(sum(col("c")).as("t"))
+    // exclusive prefix + group total via a subtotal-table self-join (not a
+    // window: the ONLY windows in this plan partition by pid — asserted in
+    // SketchSpec; a join over <= (numPartitions + groups)^2 / groups rows
+    // is noise)
+    val offs = partials
+      .join(partials.select(col("pid").as("pid2"), col("grp"), col("t").as("t2")),
+        Seq("grp"))
+      .groupBy(col("pid"), col("grp"))
+      .agg(sum(when(col("pid2") < col("pid"), col("t2")).otherwise(lit(0L))).as("off"),
+        sum(col("t2")).as("n"))
+    val local = Window.partitionBy(col("pid"), col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ranged.withColumn("lc", sum(col("c")).over(local))
+      .join(broadcast(offs), Seq("pid", "grp"))
+      .withColumn("cum", col("lc") + col("off"))
+    val qs = ps.map { case (nu, de) =>
+      min(when(col("cum") * de >= col("n") * nu, col("v"))).as(s"p${nu}_$de")
+    }
+    val aggs = max(col("n")).as("n") +: qs
+    cum.groupBy(col("grp").as(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -113,4 +113,62 @@ class SketchSpec extends AnyFunSuite {
     assert(windowIdx >= 0 && aggBelow > windowIdx,
       s"window does not sit above the histogram aggregate:\n$plan")
   }
+
+  test("groupQuantilesGeneral: continuous domain, nearest-rank vs sorted reference") {
+    import graft.ml.TextStats
+    // continuous doubles (no two equal except the tie pair), ragged groups,
+    // one single-element group
+    val rows = Seq("a" -> 0.51, "a" -> 0.13, "a" -> 0.331, "a" -> 0.331,
+      "a" -> 0.97, "b" -> 7.25, "c" -> 2.5, "c" -> 2.125, "c" -> 0.008,
+      "c" -> 8.875)
+    val df = rows.toDF("g", "v").repartition(5)
+    val got = TextStats.groupQuantilesGeneral(df, "g", "v",
+        Seq((1, 2), (9, 10), (99, 100)), numPartitions = 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    def ref(vs: Seq[Double], nu: Int, de: Int): Double = {
+      val sorted = vs.sorted
+      val r = (vs.size * nu + de - 1) / de // ceil
+      sorted(r - 1)
+    }
+    for ((g, vs) <- rows.groupMap(_._1)(_._2)) {
+      val (n, p50, p90, p99) = got(g)
+      assert(n == vs.size)
+      assert(p50 == ref(vs, 1, 2), s"$g p50")
+      assert(p90 == ref(vs, 9, 10), s"$g p90")
+      assert(p99 == ref(vs, 99, 100), s"$g p99")
+    }
+  }
+
+  test("groupQuantilesGeneral: agrees with the bounded-domain path on an integer domain") {
+    import graft.ml.TextStats
+    val df = (0 until 4000).map(i => ("g" + i % 3, (i * 37) % 101)).toDF("g", "v")
+    def snap(out: org.apache.spark.sql.DataFrame) =
+      out.select(col("g"), col("n"),
+          col("p1_2").cast("long"), col("p9_10").cast("long"))
+        .collect().map(_.toSeq).toSet
+    val bounded = snap(TextStats.groupQuantiles(df, "g", "v", Seq((1, 2), (9, 10))))
+    val general = snap(TextStats.groupQuantilesGeneral(df, "g", "v", Seq((1, 2), (9, 10))))
+    assert(general == bounded)
+  }
+
+  test("groupQuantilesGeneral: one mega-group, and no window ever partitions by the group") {
+    import graft.ml.TextStats
+    // 50k-row group with all-distinct values (the case that defeats both
+    // the bounded-histogram contract AND a per-group window) + a tiny group
+    val df = (0 until 50000).map(i => ("hot", i * 0.001))
+      .++(Seq(("cold", 1.5), ("cold", 2.5))).toDF("g", "v")
+    val out = TextStats.groupQuantilesGeneral(df, "g", "v", Seq((1, 2)), numPartitions = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    // every Window's partition spec must include pid — a [g]-partitioned
+    // window over the histogram puts the whole hot group in one task
+    val windowLines = plan.linesIterator.filter(_.matches(".*\\bWindow\\b.*")).toSeq
+    assert(windowLines.nonEmpty)
+    windowLines.foreach(l =>
+      assert(l.contains("pid"), s"window not keyed by pid:\n$l"))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in plan:\n$plan")
+    val got = out.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("hot") == 24.999 && got("cold") == 1.5) // rank 25000 of 0.001*i
+  }
 }
