@@ -591,6 +591,25 @@ object MlQueries {
         Bpe.train(Bpe.dictionary(d, Derived.tokens(col("text"))), BpeRounds)
       Bpe.tokenize(d, "doc_id", Derived.tokens(col("text")), trained)
         .orderBy(col("doc_id"))
+    }),
+
+    // X17: the composed training-data EXPORT chain — BPE tokenization (b2)
+    // feeds the shard packer (x12), so shard budgets count REAL tokenizer
+    // units (bpe_len) rather than whitespace-ish tokens: the step a
+    // pipeline ends with before `Packing.writeShards` emits the at-rest
+    // PARTITIONED-BY-shard training data (write + directory pruning
+    // spec'd in PackingSpec over this exact chain). Oracle: the b2 CTEs
+    // compute per-doc bpe_len, then the x12 single-threaded global window
+    // recomputes every offset/shard the distributed prefix scan assigned.
+    "x17_bpe_pack" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (_, trained) =
+        Bpe.train(Bpe.dictionary(d, Derived.tokens(col("text"))), BpeRounds)
+      Packing.tokenBudgetShards(
+          Bpe.tokenize(d, "doc_id", Derived.tokens(col("text")), trained)
+            .select(col("doc_id"), col("bpe_len")),
+          "doc_id", "bpe_len", PackBudget)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1506,7 +1525,23 @@ object MlQueries {
          |    AS BIGINT) AS bpe_len,
          |  CAST(COUNT(*) AS BIGINT) AS n_terms
          |FROM doc_terms JOIN brep$BpeRounds USING (term)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x17_bpe_pack" ->
+      s"""WITH ${Derived.docTermsSqlCte},
+         |${bpeCtes(BpeRounds)},
+         |bl AS (SELECT doc_id,
+         |    CAST(SUM(len(list_filter(string_split(repr, ' '), t -> t <> '')))
+         |      AS BIGINT) AS toks
+         |  FROM doc_terms JOIN brep$BpeRounds USING (term)
+         |  GROUP BY doc_id),
+         |c AS (SELECT doc_id, toks,
+         |    COALESCE(SUM(toks) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM bl)
+         |SELECT doc_id, toks, CAST(off AS BIGINT) AS off,
+         |  CAST(off // $PackBudget AS BIGINT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin
   )
 
   /**

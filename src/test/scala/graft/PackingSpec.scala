@@ -61,6 +61,33 @@ class PackingSpec extends AnyFunSuite {
     assert(pf.contains("shard"), s"shard filter not pruned:\n$plan")
   }
 
+  test("composed export chain: bpe_len budgets -> packed shards -> pruned at-rest read") {
+    import graft.ml.Bpe
+    import graft.sources.Derived
+    // the x17 chain end-to-end at unit scale: train, tokenize, pack on
+    // bpe_len, writeShards, read ONE shard with directory pruning and the
+    // text payload riding along
+    val corpus = Seq(
+      (1L, "abc abc abde xy"), (2L, "abd abd abd zq"), (3L, "xy abc ab"),
+      (4L, "qrs qrs abc"), (5L, "zq zq zq zq")).toDF("doc_id", "text")
+    val (_, trained) =
+      Bpe.train(Bpe.dictionary(corpus, Derived.tokens(col("text"))), 2)
+    val packed = Packing.tokenBudgetShards(
+      Bpe.tokenize(corpus, "doc_id", Derived.tokens(col("text")), trained)
+        .select(col("doc_id"), col("bpe_len")),
+      "doc_id", "bpe_len", budget = 6L, numPartitions = 4)
+    val path = "/tmp/graft-test-bpe-shards"
+    Packing.writeShards(packed, corpus, "doc_id", path)
+    val all = spark.read.parquet(path)
+    assert(all.count() == 5 && all.columns.contains("text"))
+    val targetShard = packed.filter(col("doc_id") === 3L).head().getLong(3)
+    val one = all.filter(col("shard") === targetShard)
+    assert(one.collect().map(_.getAs[Long]("doc_id")).contains(3L))
+    val pf = one.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("shard"), s"shard filter not pruned:\n$pf")
+  }
+
   test("shards respect the start-offset ownership rule") {
     val rows = Packing.tokenBudgetShards(docs, "id", "toks", 100L, 8).collect()
     rows.foreach { r =>
