@@ -144,6 +144,38 @@ object Bench {
     s
   }
 
+  /**
+   * Fixed deterministic CPU workload (xorshift-star sum, no allocation, no
+   * I/O) timed single-threaded and at 32 threads. Published in the bench
+   * JSON as `host_probe` so every recorded run carries its own evidence of
+   * host capability at measurement time: cross-run throughput comparisons
+   * (this VM shows multi-day drift — BENCH.md round 5) are only meaningful
+   * between runs whose probe times agree. Returns (t1_sec, t32_sec).
+   */
+  def hostProbe(): (Double, Double) = {
+    def work(iters: Long, seed: Long): Long = {
+      var x = seed | 1L; var s = 0L; var i = 0L
+      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; s += x * 0x2545F4914F6CDD1DL; i += 1 }
+      s
+    }
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    sink.addAndGet(work(50000000L, 42L)) // JIT warm-up, untimed
+    val itersSingle = 800000000L
+    val t0 = System.nanoTime()
+    sink.addAndGet(work(itersSingle, 7L))
+    val t1 = (System.nanoTime() - t0) / 1e9
+    val threads = 32
+    val t2 = System.nanoTime()
+    val pool = (0 until threads).map { k =>
+      val th = new Thread(() => { sink.addAndGet(work(itersSingle, k + 11L)): Unit })
+      th.start(); th
+    }
+    pool.foreach(_.join())
+    val t32 = (System.nanoTime() - t2) / 1e9
+    if (sink.get() == 0L) println("// host probe sink zero (unreachable)")
+    (t1, t32)
+  }
+
   /** One fresh-session timed run of [[northJob]] at `cpus`; returns
    *  (rows, seconds). Session setup/teardown is outside the timer. */
   private def runOnce(cpus: Int, inputPath: String): (Long, Double) = {
@@ -161,40 +193,47 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val (probeT1, probeT32) = hostProbe()
 
     // 1. per-query timings at full parallelism. One cheap untimed query
     // first: the alphabetically-first timed query was absorbing ~8 s of
     // fresh-session one-time cost (codegen warm-up, JIT, parquet footer
     // reads) that belongs to the session, not the plan.
-    val spark32 = session(32)
-    // q1_agg warms scan/agg codegen; x3_token_counts warms the tokenizer
-    // path (both are sub-second plans)
-    Seq("q1_agg", "x3_token_counts").foreach(q =>
-      SparkEntry.queries.get(q).foreach(fn =>
-        try fn(spark32, sfDir).count() catch { case _: Throwable => () }))
-    // host-noise bursts run 3-5x for minutes (BENCH.md) and inflate every
-    // query they cover: EVERY query is timed twice and reported as the min,
-    // so the estimator is uniform across fast and slow plans (the previous
-    // >2 s-only retime clipped noise asymmetrically and could hide a real
-    // regression straddling the cutoff). Both raw runs are published.
-    val queryRuns = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark32, sfDir).count() } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
+    // SPARK_GRAFT_SKIP_QUERIES=1 skips the whole phase — the isolation knob
+    // for the round-5 decline experiment (query-phase JVM state vs host).
+    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+    val queryRuns: Seq[(String, Double, Double)] = if (skipQueries) Seq.empty else {
+      val spark32 = session(32)
+      // q1_agg warms scan/agg codegen; x3_token_counts warms the tokenizer
+      // path (both are sub-second plans)
+      Seq("q1_agg", "x3_token_counts").foreach(q =>
+        SparkEntry.queries.get(q).foreach(fn =>
+          try fn(spark32, sfDir).count() catch { case _: Throwable => () }))
+      // host-noise bursts run 3-5x for minutes (BENCH.md) and inflate every
+      // query they cover: EVERY query is timed twice and reported as the min,
+      // so the estimator is uniform across fast and slow plans (the previous
+      // >2 s-only retime clipped noise asymmetrically and could hide a real
+      // regression straddling the cutoff). Both raw runs are published.
+      val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark32, sfDir).count() } catch { case _: Throwable => return -1.0 }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val first = once()
+        graft.ml.Components.releaseResults() // free component-label RDDs (outside the timer)
+        val second = if (first < 0) -1.0 else once()
+        graft.ml.Components.releaseResults()
+        (name, first, second)
       }
-      val first = once()
-      graft.ml.Components.releaseResults() // free component-label RDDs (outside the timer)
-      val second = if (first < 0) -1.0 else once()
-      graft.ml.Components.releaseResults()
-      (name, first, second)
+      spark32.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      runs
     }
     val queryTimes = queryRuns.map { case (name, first, second) =>
       name -> (if (first < 0) -1.0 else if (second < 0) first else math.min(first, second))
     }
-    spark32.stop()
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
 
     // 2. north metric at two parallelism levels. N=4, 4N=16: with 32 vCPUs
     // on a shared host, runs at 32 threads collide with hypervisor-level
@@ -243,6 +282,6 @@ object Bench {
     val qsRaw = queryRuns.map { case (k, a, b) => s""""$k":[$a,$b]""" }.mkString("{", ",", "}")
     val totalSec = queryTimes.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"spatial-join + kNN tile-assignment throughput (rows/s)","value":$thrN4,"unit":"rows/s","queries":$qs,"query_timing":"min_of_2","query_runs":$qsRaw,"sf":"$sfDir","total_query_sec":$totalSec,"north_rows":$rows,"scaling":{"n_cpus":$n,"n4_cpus":$n4,"n_rows_per_s":$thrN,"n4_rows_per_s":$thrN4,"efficiency":$efficiency,"efficiency_median":$efficiencyMedian,"estimator":"min_of_${reps}_interleaved_reps","n_secs":[${secsN.mkString(",")}],"n4_secs":[${secsN4.mkString(",")}]}}""")
+      s"""{"metric":"spatial-join + kNN tile-assignment throughput (rows/s)","value":$thrN4,"unit":"rows/s","queries":$qs,"query_timing":"min_of_2","query_runs":$qsRaw,"sf":"$sfDir","total_query_sec":$totalSec,"north_rows":$rows,"host_probe":{"t1_sec":$probeT1,"t32_sec":$probeT32},"scaling":{"n_cpus":$n,"n4_cpus":$n4,"n_rows_per_s":$thrN,"n4_rows_per_s":$thrN4,"efficiency":$efficiency,"efficiency_median":$efficiencyMedian,"estimator":"min_of_${reps}_interleaved_reps","n_secs":[${secsN.mkString(",")}],"n4_secs":[${secsN4.mkString(",")}]}}""")
   }
 }
