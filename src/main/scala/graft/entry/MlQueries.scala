@@ -3,7 +3,7 @@ package graft.entry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ml.{Ann, Bpe, Dedup, Packing, Sampling, Sketch, TextStats}
+import graft.ml.{Ann, Bpe, Dedup, Incremental, Packing, Sampling, Sketch, TextStats}
 import graft.sources.Derived
 import graft.images.{Audio, Images, Video}
 
@@ -137,6 +137,33 @@ object MlQueries {
           d.filter(col("doc_id") % DecontamMod === 0),
           "doc_id", "text", DecontamK)
         .orderBy(col("doc_id"))
+    }),
+
+    // D10: INCREMENTAL exact dedup — the corpus arrives in three batches
+    // (split by doc_id mod 3, with deterministic exact-dup replicas: +same-
+    // batch under shift 9999999 ≡ 0 mod 3, +cross-batch under 10000000 ≡ 1)
+    // and each ingest dedups against persisted bucketed state — history
+    // never re-shuffles (Incremental's scaladoc; plan-asserted in
+    // IncrementalSpec). Accepted = first batch containing the text wins,
+    // min id within that batch — so a replica arriving in an EARLIER batch
+    // beats the original, the arrival-order semantics the oracle's
+    // ROW_NUMBER-over-batch reproduces. State is rebuilt fresh per run
+    // (the ingest sequence IS the query).
+    "d10_incr_dedup" -> ((s, dir) => {
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft-incr-state-" +
+        f"${dir.hashCode & 0x7fffffff}%08x"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val all = base
+        .unionByName(base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 9999999L).as("doc_id"), col("text")))
+        .unionByName(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      (0 until 3).map { k =>
+        Incremental.ingestExact(s, stateDir, s"b$k",
+            all.filter(col("doc_id") % 3 === k), "doc_id", "text")
+          .select(lit(k).as("batch"), col("id").as("doc_id"), col("n_dups"))
+      }.reduce(_ unionByName _).orderBy(col("doc_id"))
     }),
 
     // D7: thumbnail → catalog reverse lookup (perceptual image dedup).
@@ -1098,6 +1125,22 @@ object MlQueries {
     "d1_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // the sequential three-batch ingest collapses to: per (text, batch)
+    // firsts, then the earliest batch per text wins (arrival order)
+    "d10_incr_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |allr AS (SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 9999999, text FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 10000000, text FROM base WHERE doc_id % 7 = 0),
+        |firsts AS (SELECT text, CAST(doc_id % 3 AS INT) AS batch,
+        |    MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+        |  FROM allr GROUP BY 1, 2),
+        |ranked AS (SELECT batch, doc_id, n_dups,
+        |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY batch) AS rn
+        |  FROM firsts)
+        |SELECT batch, doc_id, n_dups FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "d2_jaccard" ->
       s"""WITH ${shingleCte(JaccardMaxId)},

@@ -1,0 +1,183 @@
+package graft.ml
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TableIO
+
+/**
+ * INCREMENTAL exact dedup — the ingest-time shape of [[Dedup.exact]] for a
+ * pipeline that receives the corpus in batches (a production crawl ingests
+ * continuously; re-running a full-corpus dedup per batch re-shuffles the
+ * whole 100-TB history every day). Each batch is deduped against itself
+ * (first occurrence per text, min id — [[Dedup.exact]]'s keep rule) and
+ * against ALL previously ACCEPTED content, then its accepted rows are
+ * appended to persisted state. The final corpus equals what the one-shot
+ * [[Dedup.exact]] over the concatenated batches would keep, batch arrival
+ * order deciding ties across batches (spec'd in IncrementalSpec).
+ *
+ * State layout — one BUCKETED stage per ingested batch
+ * (`state_<batch>`, [[TableIO.bucketedStage]] on `h` = xxhash64(text)):
+ *
+ *  - the state side of every anti-join arrives pre-partitioned: bucketing
+ *    on `h` satisfies the join's clustering requirement, so ONLY the new
+ *    batch shuffles — accepted history never moves again (plan-asserted:
+ *    no Exchange above the state scan). At 100 TB the state is the big
+ *    side; this is the difference between an ingest that reads history
+ *    and one that re-shuffles it.
+ *  - ingest is APPEND-ONLY: a batch never rewrites earlier state
+ *    (Iceberg-style — a snapshot is the set of batch stage dirs; resume
+ *    and lineage ride the TableIO manifests like every other stage).
+ *  - the raw text stays alongside `h`, and the join matches on BOTH
+ *    (null-safe on text), so dedup is EXACT under hash collisions — same
+ *    contract as [[Dedup.joinSpanStats]]; `h` exists to keep shuffle /
+ *    bucket / sort comparisons on longs.
+ *
+ * Anti-join chaining: a batch is filtered through each prior stage in
+ * sequence. Cost per ingest is O(batches) joins, each shuffle-free on the
+ * state side; a long-running pipeline compacts (unions all `state_*`
+ * stages into one bucketed stage and retires them) on the usual log-
+ * structured schedule — compaction is just `bucketedStage(union)`, not a
+ * new primitive, so it is left to the operator.
+ *
+ * NULL text is one content value (null-safe equality in the join,
+ * `groupBy` already treats NULL as a group): a null-text row dedups
+ * against earlier null-text rows instead of being re-accepted forever —
+ * the [[Sketch]] null lesson applied here from the start.
+ */
+object Incremental {
+
+  /** Stage-name prefix for accepted-batch state tables. */
+  val StatePrefix = "state_"
+
+  /** Buckets for the state tables — a fixed layout every batch shares
+   *  (bucketed joins require equal bucket counts on both staged sides). */
+  val DefaultBuckets = 8
+
+  /** Per-batch first occurrences: one row per distinct text with the kept
+   *  (min) id and the in-batch duplicate count — [[Dedup.exact]] plus the
+   *  long hash key the state layout buckets on. One shuffle, map-side
+   *  combined. */
+  def batchFirsts(batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    batch.groupBy(col(textCol).as("text"))
+      .agg(min(col(idCol)).as("id"), count(lit(1)).as("n_dups"))
+      .select(xxhash64(col("text")).as("h"), col("id"), col("text"), col("n_dups"))
+
+  /** Completed state stages under `stateDir`, in ingest order (stage names
+   *  are listed from the filesystem, ordered by the manifest-recorded
+   *  ingest sequence number each batch gets on write). */
+  def stateNames(stateDir: String): Seq[String] = {
+    val root = Paths.get(stateDir)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        Files.list(root).iterator()).asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith(StatePrefix) && TableIO.isComplete(stateDir, n))
+      .toSeq
+    // ingest order = numeric sequence prefix written by ingestExact
+    // (state_<seq>_<batch>); lexicographic on the zero-padded seq
+    names.sorted
+  }
+
+  private def stateTable(spark: SparkSession, stateDir: String,
+                         name: String): DataFrame =
+    TableIO.bucketedStage(spark, stateDir, name, "h", DefaultBuckets) {
+      sys.error(s"state stage $name under $stateDir is incomplete — " +
+        "it must have been written by a previous ingestExact")
+    }
+
+  /** Next stage sequence number: max existing + 1 (NOT the stage count —
+   *  after [[compact]] retires stages, a count-derived number could collide
+   *  with a surviving higher-numbered stage and silently resume it). */
+  private def nextSeq(names: Seq[String]): Int =
+    names.map(_.stripPrefix(StatePrefix).takeWhile(_.isDigit).toInt)
+      .foldLeft(-1)(math.max) + 1
+
+  /**
+   * Ingest one batch: returns (and persists) its accepted rows
+   * `(h, id, text, n_dups)` — first occurrence per text within the batch,
+   * text unseen in state. Idempotent with TableIO semantics: if this
+   * batch name was already ingested, the staged result is returned without
+   * recomputation (stages are deterministic pipeline steps; hand the same
+   * name the same batch).
+   */
+  def ingestExact(spark: SparkSession, stateDir: String, batchName: String,
+                  batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(batchName.nonEmpty && batchName.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '.'),
+      s"batch name must be [A-Za-z0-9.-]+: $batchName")
+    require(!batchName.startsWith("compact"),
+      s"batch names starting with 'compact' are reserved for [[compact]]: $batchName")
+    val prior = stateNames(stateDir)
+    prior.find(_.split("_", 3).last == batchName) match {
+      case Some(existing) => return stateTable(spark, stateDir, existing)
+      case None => ()
+    }
+    Files.createDirectories(Paths.get(stateDir))
+    val name = f"$StatePrefix${nextSeq(prior)}%06d_$batchName"
+    val firsts = batchFirsts(batch, idCol, textCol)
+    val survivors = prior.foldLeft(firsts) { (acc, st) =>
+      val state = stateTable(spark, stateDir, st)
+        .select(col("h").as("s_h"), col("text").as("s_text"))
+      acc.join(state,
+        acc("h") === state("s_h") && acc("text") <=> state("s_text"),
+        "left_anti")
+    }
+    // the join keys are (h, text) but the state is bucketed on h alone (h
+    // already co-locates every equal-(h, text) pair; text is the collision-
+    // exactness refinement, not a distribution key) — Spark's default
+    // requireAllClusterKeysForCoPartition=true would reject the subset
+    // co-partitioning, re-shuffle BOTH sides and disable the bucketed scan,
+    // which is precisely the history re-shuffle this layout exists to avoid.
+    // Relax it for the ingest (planning happens inside the stage write
+    // below, so the previous value is restored before returning).
+    val kReq = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prev = spark.conf.get(kReq)
+    spark.conf.set(kReq, "false")
+    try TableIO.bucketedStage(spark, stateDir, name, "h", DefaultBuckets) { survivors }
+    finally spark.conf.set(kReq, prev)
+  }
+
+  /** The accepted corpus so far — the union of every batch's state stage
+   *  (what a one-shot [[Dedup.exact]] over all ingested rows would keep,
+   *  with cross-batch ties resolved by arrival order). */
+  def accepted(spark: SparkSession, stateDir: String): DataFrame = {
+    val names = stateNames(stateDir)
+    require(names.nonEmpty, s"no completed state stages under $stateDir")
+    names.map(stateTable(spark, stateDir, _)).reduce(_ unionByName _)
+  }
+
+  /**
+   * Log-structured maintenance: fold every state stage into ONE bucketed
+   * stage and retire the originals, so ingest cost returns to a single
+   * anti-join instead of O(batches). Crash-safe without a transaction log:
+   * the compacted stage is written FIRST (under the next sequence number,
+   * so it can never silently resume an existing stage), then the originals
+   * are deleted. A crash between the two leaves duplicate content across
+   * stages, which is harmless to ingest (an anti-join rejects against
+   * either copy) and is re-collapsed by the next compact — the fold
+   * aggregates per (h, text), idempotent under whole-row duplication.
+   * Union-then-aggregate shuffles once on (h, text); the next compaction
+   * pass at 100 TB would sort-merge the bucketed inputs instead, the same
+   * subset-co-partition trick as ingest — left as the documented upgrade.
+   */
+  def compact(spark: SparkSession, stateDir: String): DataFrame = {
+    val names = stateNames(stateDir)
+    require(names.nonEmpty, s"no completed state stages under $stateDir")
+    if (names.size == 1) return stateTable(spark, stateDir, names.head)
+    val seq = nextSeq(names)
+    val folded = names.map(stateTable(spark, stateDir, _)).reduce(_ unionByName _)
+      .groupBy(col("h"), col("text"))
+      .agg(min(col("id")).as("id"), max(col("n_dups")).as("n_dups"))
+      .select(col("h"), col("id"), col("text"), col("n_dups"))
+    val out = TableIO.bucketedStage(spark, stateDir,
+      f"$StatePrefix$seq%06d_compact$seq", "h", DefaultBuckets) { folded }
+    names.foreach { n =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        Paths.get(stateDir, n).toFile)
+    }
+    out
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Dedup, Incremental}
+
+class IncrementalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft-incr-spec-$tag"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  // three batches with every dup topology: in-batch dup (20/21), cross-batch
+  // dup arriving later (10 -> 30), cross-batch dup whose FIRST arrival is in
+  // an earlier batch than the smaller id (40 in b2 loses to 31 in b1), a
+  // null-text pair spanning batches, and unique rows
+  private val b0 = Seq((10L, "alpha"), (11L, "beta"), (12L, null.asInstanceOf[String]))
+  private val b1 = Seq((20L, "gamma"), (21L, "gamma"), (31L, "delta"))
+  private val b2 = Seq((30L, "alpha"), (40L, "delta"), (41L, null.asInstanceOf[String]), (42L, "eps"))
+
+  private def ingestAll(dir: String): Map[Int, Set[(Long, Long)]] =
+    Seq(b0, b1, b2).zipWithIndex.map { case (rows, k) =>
+      k -> Incremental.ingestExact(spark, dir, s"b$k",
+          rows.toDF("doc_id", "text"), "doc_id", "text")
+        .select("id", "n_dups").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }.toMap
+
+  test("sequential ingest: first batch wins per text, min id within batch, nulls dedup") {
+    val out = ingestAll(freshDir("seq"))
+    assert(out(0) == Set((10L, 1L), (11L, 1L), (12L, 1L)))
+    // gamma collapses in-batch (n_dups 2, keep 20); delta accepted here
+    assert(out(1) == Set((20L, 2L), (31L, 1L)))
+    // alpha(30) rejected vs b0's 10; delta(40) rejected vs b1's 31 even
+    // though 31 > 30's... (arrival order, not global min id); null(41)
+    // rejected vs b0's null(12); eps is new
+    assert(out(2) == Set((42L, 1L)))
+  }
+
+  test("accepted() equals one-shot Dedup.exact when arrival order matches id order") {
+    val dir = freshDir("oneshot")
+    ingestAll(dir)
+    val acc = Incremental.accepted(spark, dir)
+      .select("id").as[Long].collect().toSet
+    assert(acc == Set(10L, 11L, 12L, 20L, 31L, 42L))
+    // one-shot over the concatenation agrees on TEXTS kept, and on ids for
+    // every text whose first arrival batch holds its global min id
+    val all = (b0 ++ b1 ++ b2).toDF("doc_id", "text")
+    val oneShot = Dedup.exact(all, "doc_id", "text")
+      .select("keep_id").as[Long].collect().toSet
+    assert(oneShot == acc) // here arrival order == id order per text
+  }
+
+  test("re-ingesting the same batch name resumes (no duplicate state)") {
+    val dir = freshDir("resume")
+    ingestAll(dir)
+    val again = Incremental.ingestExact(spark, dir, "b1",
+      b1.toDF("doc_id", "text"), "doc_id", "text")
+    assert(again.select("id").as[Long].collect().toSet == Set(20L, 31L))
+    assert(Incremental.stateNames(dir).size == 3)
+  }
+
+  test("state side of the anti-join is bucketed: no Exchange above its scan") {
+    val dir = freshDir("plan")
+    Incremental.ingestExact(spark, dir, "b0", b0.toDF("doc_id", "text"),
+      "doc_id", "text")
+    // at test scale the planner would broadcast the tiny state side, which
+    // hides the property that matters at 100 TB (state = the BIG side, so
+    // the join must go sort-merge with the state pre-partitioned); force
+    // the sort-merge path to assert the bucketed layout is honored
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val kReq = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prevReq = spark.conf.get(kReq)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(kReq, "false") // as ingestExact sets it around its join
+    try {
+      // build the SECOND ingest's plan without executing the write:
+      // replicate the operator's join against the staged state
+      val firsts = Incremental.batchFirsts(b1.toDF("doc_id", "text"), "doc_id", "text")
+      val state = graft.pipeline.TableIO.bucketedStage(spark, dir,
+          Incremental.stateNames(dir).head, "h", Incremental.DefaultBuckets) {
+        sys.error("state must already be staged")
+      }.select(col("h").as("s_h"), col("text").as("s_text"))
+      val joined = firsts.join(state,
+        firsts("h") === state("s_h") && firsts("text") <=> state("s_text"), "left_anti")
+      val plan = joined.queryExecution.executedPlan.toString
+      val scanIdx = plan.linesIterator.indexWhere(_.contains("Scan parquet"))
+      assert(scanIdx >= 0, s"no parquet scan in:\n$plan")
+      // the bucketed state scan is the plan's only parquet leaf (the batch
+      // is a local relation); nothing between the join and that leaf may
+      // re-shuffle it — i.e. no Exchange at or below the scan's subtree,
+      // which in the printed tree is every line from the scan down
+      val stateSide = plan.linesIterator.toSeq.drop(scanIdx)
+      assert(!stateSide.exists(_.contains("Exchange")),
+        s"state side re-shuffled:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"state scan not bucket-aware:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set(kReq, prevReq)
+    }
+  }
+
+  test("ingest refuses unsafe batch names") {
+    val dir = freshDir("names")
+    intercept[IllegalArgumentException] {
+      Incremental.ingestExact(spark, dir, "b_0", b0.toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    intercept[IllegalArgumentException] {
+      Incremental.ingestExact(spark, dir, "compact1", b0.toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+  }
+
+  test("compact folds state into one stage; ingest continues correctly after it") {
+    val dir = freshDir("compact")
+    ingestAll(dir)
+    val before = Incremental.accepted(spark, dir)
+      .select("id", "n_dups").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Incremental.compact(spark, dir)
+    val names = Incremental.stateNames(dir)
+    assert(names.size == 1 && names.head.contains("compact"), names.toString)
+    val after = Incremental.accepted(spark, dir)
+      .select("id", "n_dups").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before)
+    // post-compact ingest: known texts rejected against the folded stage,
+    // new text accepted; the new stage's seq must not collide (max+1, not
+    // count — a count-derived name would resume the compacted stage)
+    val b3 = Seq((50L, "alpha"), (51L, "zeta")).toDF("doc_id", "text")
+    val out = Incremental.ingestExact(spark, dir, "b3", b3, "doc_id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(51L))
+    assert(Incremental.stateNames(dir).size == 2)
+  }
+}
