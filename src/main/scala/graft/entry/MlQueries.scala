@@ -19,6 +19,10 @@ object MlQueries {
   val JaccardMaxId = 200L
   val JaccardThreshold = 0.7
   val MinhashMaxId = 200L
+  /** d11 incremental near-dup: corpus cut + refine threshold (30 genuine
+   *  >= 0.7 shingle-Jaccard pairs exist in the first 500 docs at sf0.01). */
+  val NearMaxId = 1000L
+  val NearThreshold = 0.7
   /** d8: spans of 5 tokens (production ExactSubstr uses ~50; 5 keeps the
    *  sf0.01 signal nondegenerate — 1,096 duplicated spans across 71 docs). */
   val SpanK = 5
@@ -163,6 +167,28 @@ object MlQueries {
         Incremental.ingestExact(s, stateDir, s"b$k",
             all.filter(col("doc_id") % 3 === k), "doc_id", "text")
           .select(lit(k).as("batch"), col("id").as("doc_id"), col("n_dups"))
+      }.reduce(_ unionByName _).orderBy(col("doc_id"))
+    }),
+
+    // D11: INCREMENTAL NEAR-dup dedup — d10's minhash twin: three batches
+    // (doc_id mod 3 over the doc_id < NearMaxId cut), each banding-probed
+    // against the persisted signature index of previously ACCEPTED docs and
+    // exact-Jaccard-refined against only the candidate partners (state text
+    // fetched by doc_id semi-join, never rescanned). Pinned semantics: a
+    // doc drops if a refined (>= 0.7) candidate with a smaller id shares
+    // its batch, or if any accepted earlier-batch doc refines — which the
+    // oracle unrolls as three acceptance CTEs over the one global
+    // banding+refine pair list.
+    "d11_incr_near_dedup" -> ((s, dir) => {
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft-incrn-state-" +
+        f"${dir.hashCode & 0x7fffffff}%08x"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+      val d = docs(s, dir).filter(col("doc_id") < NearMaxId)
+        .select(col("doc_id"), col("text"))
+      (0 until 3).map { k =>
+        Incremental.ingestMinhash(s, stateDir, s"b$k",
+            d.filter(col("doc_id") % 3 === k), "doc_id", "text", NearThreshold)
+          .select(lit(k).as("batch"), col("doc_id"))
       }.reduce(_ unionByName _).orderBy(col("doc_id"))
     }),
 
@@ -1141,6 +1167,38 @@ object MlQueries {
         |  FROM firsts)
         |SELECT batch, doc_id, n_dups FROM ranked WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // the sequential near-dup ingest unrolled: ONE global banding+refine
+    // pair list, then per-batch in-batch smaller-id rejection and
+    // accepted-so-far rejection as three acceptance CTEs
+    "d11_incr_near_dedup" ->
+      s"""WITH ${shingleCte(NearMaxId)},
+         |$minhashSigBandCtes,
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.id1, p.id2, COUNT(*) AS c
+         |  FROM pairs p JOIN sh a ON a.doc_id = p.id1
+         |  JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
+         |  GROUP BY 1, 2),
+         |ref AS (SELECT id1, id2 FROM inter
+         |  JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+         |  WHERE c * 1.0 / (s1.sz + s2.sz - c) >= $NearThreshold),
+         |refsym AS (SELECT id1, id2 FROM ref UNION ALL SELECT id2, id1 FROM ref),
+         |bm AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch FROM d),
+         |inok AS (SELECT m.doc_id, m.batch FROM bm m WHERE NOT EXISTS (
+         |  SELECT 1 FROM ref r JOIN bm m2 ON r.id1 = m2.doc_id
+         |  WHERE r.id2 = m.doc_id AND m2.batch = m.batch)),
+         |acc0 AS (SELECT doc_id FROM inok WHERE batch = 0),
+         |acc1 AS (SELECT i.doc_id FROM inok i WHERE batch = 1 AND NOT EXISTS (
+         |  SELECT 1 FROM refsym r JOIN acc0 a ON r.id1 = a.doc_id
+         |  WHERE r.id2 = i.doc_id)),
+         |acc01 AS (SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1),
+         |acc2 AS (SELECT i.doc_id FROM inok i WHERE batch = 2 AND NOT EXISTS (
+         |  SELECT 1 FROM refsym r JOIN acc01 a ON r.id1 = a.doc_id
+         |  WHERE r.id2 = i.doc_id))
+         |SELECT 0 AS batch, doc_id FROM acc0
+         |UNION ALL SELECT 1 AS batch, doc_id FROM acc1
+         |UNION ALL SELECT 2 AS batch, doc_id FROM acc2
+         |ORDER BY doc_id""".stripMargin,
 
     "d2_jaccard" ->
       s"""WITH ${shingleCte(JaccardMaxId)},

@@ -173,14 +173,23 @@ object Dedup {
    *  near-dup signal. True near-dups above the banding threshold collide
    *  in several independent bands, so they survive unless every one of
    *  their buckets is hot. None = exact banding semantics (d3/d6). */
-  def minhashCandidates(signatures: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
+  /** Banded LSH keys from a [[minhashSignatures]] table: one
+   *  (doc_id, band, band_key) row per band — the probe/index layout shared
+   *  by [[minhashCandidates]] and the incremental near-dup state
+   *  ([[Incremental.ingestMinhash]]). */
+  def minhashBands(signatures: DataFrame): DataFrame = {
     import MinHash._
     val nBands = NumHashes / BandSize
-    val bands = (0 until nBands).map { b =>
+    (0 until nBands).map { b =>
       val key = concat_ws(",",
         (0 until BandSize).map(j => col(s"h${b * BandSize + j}").cast("string")): _*)
       signatures.select(col("doc_id"), lit(b).as("band"), key.as("band_key"))
     }.reduce(_ unionByName _)
+  }
+
+  def minhashCandidates(signatures: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
+    import MinHash._
+    val bands = minhashBands(signatures)
     val admitted = maxBucket match {
       case None => bands
       case Some(cap) =>

@@ -49,8 +49,13 @@ import graft.pipeline.TableIO
  */
 object Incremental {
 
-  /** Stage-name prefix for accepted-batch state tables. */
+  /** Stage-name prefix for accepted-batch state tables (exact dedup). */
   val StatePrefix = "state_"
+
+  /** Stage-name prefixes for the near-dup (minhash) state: the banded
+   *  signature index (probe side) and the accepted docs (refine side). */
+  val NsigPrefix = "nsig_"
+  val NdocPrefix = "ndoc_"
 
   /** Buckets for the state tables — a fixed layout every batch shares
    *  (bucketed joins require equal bucket counts on both staged sides). */
@@ -65,34 +70,32 @@ object Incremental {
       .agg(min(col(idCol)).as("id"), count(lit(1)).as("n_dups"))
       .select(xxhash64(col("text")).as("h"), col("id"), col("text"), col("n_dups"))
 
-  /** Completed state stages under `stateDir`, in ingest order (stage names
-   *  are listed from the filesystem, ordered by the manifest-recorded
-   *  ingest sequence number each batch gets on write). */
-  def stateNames(stateDir: String): Seq[String] = {
+  /** Completed state stages under `stateDir` with the given name prefix,
+   *  in ingest order (stage names are listed from the filesystem, ordered
+   *  by the zero-padded sequence number each batch gets on write). */
+  def stateNames(stateDir: String, prefix: String = StatePrefix): Seq[String] = {
     val root = Paths.get(stateDir)
     if (!Files.isDirectory(root)) return Seq.empty
     val names = scala.jdk.CollectionConverters.IteratorHasAsScala(
         Files.list(root).iterator()).asScala
       .map(_.getFileName.toString)
-      .filter(n => n.startsWith(StatePrefix) && TableIO.isComplete(stateDir, n))
+      .filter(n => n.startsWith(prefix) && TableIO.isComplete(stateDir, n))
       .toSeq
-    // ingest order = numeric sequence prefix written by ingestExact
-    // (state_<seq>_<batch>); lexicographic on the zero-padded seq
     names.sorted
   }
 
   private def stateTable(spark: SparkSession, stateDir: String,
-                         name: String): DataFrame =
-    TableIO.bucketedStage(spark, stateDir, name, "h", DefaultBuckets) {
+                         name: String, key: String = "h"): DataFrame =
+    TableIO.bucketedStage(spark, stateDir, name, key, DefaultBuckets) {
       sys.error(s"state stage $name under $stateDir is incomplete — " +
-        "it must have been written by a previous ingestExact")
+        "it must have been written by a previous ingest")
     }
 
   /** Next stage sequence number: max existing + 1 (NOT the stage count —
    *  after [[compact]] retires stages, a count-derived number could collide
    *  with a surviving higher-numbered stage and silently resume it). */
-  private def nextSeq(names: Seq[String]): Int =
-    names.map(_.stripPrefix(StatePrefix).takeWhile(_.isDigit).toInt)
+  private def nextSeq(names: Seq[String], prefix: String = StatePrefix): Int =
+    names.map(_.stripPrefix(prefix).takeWhile(_.isDigit).toInt)
       .foldLeft(-1)(math.max) + 1
 
   /**
@@ -147,6 +150,111 @@ object Incremental {
     val names = stateNames(stateDir)
     require(names.nonEmpty, s"no completed state stages under $stateDir")
     names.map(stateTable(spark, stateDir, _)).reduce(_ unionByName _)
+  }
+
+  /**
+   * Incremental NEAR-dup dedup — [[ingestExact]]'s minhash twin: each batch
+   * is near-dup-filtered against itself and against all previously accepted
+   * content, using the same banding + exact-Jaccard-refine machinery as the
+   * batch operators ([[Dedup.minhashCandidates]] / [[Dedup.jaccardRefine]]).
+   *
+   * Pinned semantics (deterministic, oracle-able):
+   *  - in-batch: a doc is rejected when a banding candidate with a SMALLER
+   *    id in the same batch refines to Jaccard >= `threshold` — whether or
+   *    not that partner is itself accepted (aggressive first-wins, NOT
+   *    leader clustering: if A~B and B~C but A!~C, both B and C drop; the
+   *    batch family's `dupClusters` is the clustering semantics when
+   *    transitive grouping is wanted);
+   *  - cross-batch: a surviving doc is rejected when any ACCEPTED doc from
+   *    an earlier batch is a banding candidate refining to >= `threshold`.
+   *
+   * State per batch, both TableIO-bucketed:
+   *  - `nsig_<seq>_<batch>` (doc_id, band, band_key) bucketed on band_key —
+   *    the banded signature index the new batch PROBES; the state side of
+   *    the probe join arrives pre-partitioned (subset co-partitioning on
+   *    band_key), so the signature history never re-shuffles;
+   *  - `ndoc_<seq>_<batch>` (doc_id, text) bucketed on doc_id — the refine
+   *    side. Accepted TEXT is fetched ONLY for candidate partners (a
+   *    doc_id semi-join against the bucketed table): the state's text is
+   *    never rescanned wholesale, which is the difference between probing
+   *    an index and re-reading 100 TB of history per batch.
+   *
+   * The signature index is ~4 small rows per accepted doc; `maxBucket`
+   * carries the usual banding discriminativeness cap. Crash between the
+   * two stage writes resumes cleanly: the batch is keyed by name, both
+   * stages are individually idempotent, and an orphan half is completed on
+   * re-ingest (the stage suffix is reconstructed from the existing half).
+   * Returns the accepted (doc_id, text) table.
+   */
+  def ingestMinhash(spark: SparkSession, stateDir: String, batchName: String,
+                    batch: DataFrame, idCol: String, textCol: String,
+                    threshold: Double, shingleN: Int = 3,
+                    maxBucket: Option[Int] = None): DataFrame = {
+    require(batchName.nonEmpty && batchName.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '.'),
+      s"batch name must be [A-Za-z0-9.-]+: $batchName")
+    val ndocPrior = stateNames(stateDir, NdocPrefix)
+    val nsigPrior = stateNames(stateDir, NsigPrefix)
+    def batchOf(n: String) = n.split("_", 3).last
+    val ownSuffix = ndocPrior.find(n => batchOf(n) == batchName)
+      .map(_.stripPrefix(NdocPrefix))
+      .orElse(nsigPrior.find(n => batchOf(n) == batchName).map(_.stripPrefix(NsigPrefix)))
+      .getOrElse {
+        val seq = math.max(nextSeq(ndocPrior, NdocPrefix), nextSeq(nsigPrior, NsigPrefix))
+        f"$seq%06d_$batchName"
+      }
+    val (ndocName, nsigName) = (NdocPrefix + ownSuffix, NsigPrefix + ownSuffix)
+    if (TableIO.isComplete(stateDir, ndocName) && TableIO.isComplete(stateDir, nsigName))
+      return stateTable(spark, stateDir, ndocName, key = "doc_id")
+    Files.createDirectories(Paths.get(stateDir))
+    val priorSigs = nsigPrior.filterNot(_ == nsigName)
+    val priorDocs = ndocPrior.filterNot(_ == ndocName)
+
+    val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .localCheckpoint(true)
+    val sigs = Dedup.minhashSignatures(b, "doc_id", "text").localCheckpoint(true)
+    // in-batch: reject the larger id of every refined candidate pair
+    val inPairs = Dedup.minhashCandidates(sigs, maxBucket)
+    val inRejects = Dedup.jaccardRefine(b, "doc_id", "text", shingleN, threshold, inPairs)
+      .select(col("id2").as("doc_id")).distinct()
+    val inOk = b.join(inRejects, Seq("doc_id"), "left_anti").localCheckpoint(true)
+
+    val kReq = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prev = spark.conf.get(kReq)
+    spark.conf.set(kReq, "false")
+    try {
+      val accepted = if (priorSigs.isEmpty) inOk else {
+        // probe the banded state index: survivors' band keys vs each stage
+        val probe = Dedup.minhashBands(
+          sigs.join(inOk.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+        val cands = priorSigs.map { st =>
+          val state = stateTable(spark, stateDir, st, key = "band_key")
+            .select(col("band"), col("band_key"), col("doc_id").as("id1"))
+          probe.join(state, Seq("band", "band_key"))
+            .select(col("id1"), col("doc_id").as("id2"))
+        }.reduce(_ unionByName _).distinct().localCheckpoint(true)
+        // refine only the candidate partners: state text via doc_id
+        // semi-joins against the bucketed ndoc tables, never a full rescan
+        val partnerIds = cands.select(col("id1").as("doc_id")).distinct()
+        val partners = priorDocs.map { st =>
+          stateTable(spark, stateDir, st, key = "doc_id")
+            .join(partnerIds, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("text"))
+        }.reduce(_ unionByName _)
+        val crossRejects = Dedup.jaccardRefine(
+            inOk.unionByName(partners), "doc_id", "text", shingleN, threshold, cands)
+          .select(col("id2").as("doc_id")).distinct()
+        inOk.join(crossRejects, Seq("doc_id"), "left_anti")
+      }
+      val ndoc = TableIO.bucketedStage(spark, stateDir, ndocName, "doc_id",
+        DefaultBuckets) { accepted.select(col("doc_id"), col("text")) }
+      TableIO.bucketedStage(spark, stateDir, nsigName, "band_key", DefaultBuckets) {
+        Dedup.minhashBands(
+          sigs.join(ndoc.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+          .select(col("band_key"), col("band"), col("doc_id"))
+      }
+      ndoc
+    } finally spark.conf.set(kReq, prev)
   }
 
   /**

@@ -118,6 +118,92 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  // near-dup (minhash) ingest fixtures: A/A2 differ by one word (high
+  // shingle Jaccard), B/B2 likewise; X/Y/Z are mutually unrelated
+  private val tA  = "the quick brown fox jumps over the lazy dog in the park today"
+  private val tA2 = "the quick brown fox jumps over the lazy cat in the park today"
+  private val tB  = "distributed query engines shuffle data between executor stages"
+  private val tB2 = "distributed query engines shuffle data between executor phases"
+  private val tX  = "completely unrelated first document about alpine meadows"
+  private val tY  = "another standalone text mentioning harbor lighthouses"
+  private val tZ  = "a third independent snippet on desert irrigation canals"
+
+  private def ingestNear(dir: String, k: Int, rows: Seq[(Long, String)],
+                         threshold: Double = 0.7): Set[Long] =
+    Incremental.ingestMinhash(spark, dir, s"n$k", rows.toDF("doc_id", "text"),
+        "doc_id", "text", threshold)
+      .select("doc_id").as[Long].collect().toSet
+
+  test("near-dup ingest: in-batch smaller-id wins, cross-batch accepted-state rejects") {
+    val dir = freshDir("near")
+    // sanity: the fixture pairs really are banding candidates above 0.7
+    val fix = Seq((1L, tA), (2L, tA2), (3L, tB), (4L, tB2)).toDF("doc_id", "text")
+    val sigs = graft.ml.Dedup.minhashSignatures(fix, "doc_id", "text")
+    val refined = graft.ml.Dedup.jaccardRefine(fix, "doc_id", "text", 3, 0.7,
+        graft.ml.Dedup.minhashCandidates(sigs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined == Set((1L, 2L), (3L, 4L)), s"fixture drift: $refined")
+
+    assert(ingestNear(dir, 0, Seq((10L, tA), (11L, tX))) == Set(10L, 11L))
+    // 20 ~ accepted 10 (cross-batch reject); 22 ~ 21 in-batch (larger id
+    // drops); 23 unrelated
+    assert(ingestNear(dir, 1, Seq((20L, tA2), (21L, tB), (22L, tB2), (23L, tY)))
+      == Set(21L, 23L))
+    // 30 repeats tA verbatim (Jaccard 1.0 vs accepted 10); 31 new
+    assert(ingestNear(dir, 2, Seq((30L, tA), (31L, tZ))) == Set(31L))
+  }
+
+  test("near-dup ingest: banding candidates alone never reject — refine gates") {
+    val dir = freshDir("near-thresh")
+    // threshold above 1.0: even exact duplicates refine below it, so
+    // every doc must survive despite full banding collisions
+    assert(ingestNear(dir, 0, Seq((10L, tA), (11L, tA)), threshold = 1.01)
+      == Set(10L, 11L))
+    assert(ingestNear(dir, 1, Seq((20L, tA)), threshold = 1.01) == Set(20L))
+  }
+
+  test("near-dup ingest resumes by batch name without recompute") {
+    val dir = freshDir("near-resume")
+    ingestNear(dir, 0, Seq((10L, tA), (11L, tX)))
+    ingestNear(dir, 1, Seq((20L, tA2), (21L, tY)))
+    val again = Incremental.ingestMinhash(spark, dir, "n1",
+        Seq((20L, tA2), (21L, tY)).toDF("doc_id", "text"), "doc_id", "text", 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == Set(21L))
+    assert(Incremental.stateNames(dir, Incremental.NsigPrefix).size == 2)
+    assert(Incremental.stateNames(dir, Incremental.NdocPrefix).size == 2)
+  }
+
+  test("near-dup state probe: signature index side is bucketed, no Exchange") {
+    val dir = freshDir("near-plan")
+    ingestNear(dir, 0, Seq((10L, tA), (11L, tX)))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val kReq = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prevReq = spark.conf.get(kReq)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(kReq, "false")
+    try {
+      val probe = graft.ml.Dedup.minhashBands(graft.ml.Dedup.minhashSignatures(
+        Seq((20L, tA2)).toDF("doc_id", "text"), "doc_id", "text"))
+      val state = graft.pipeline.TableIO.bucketedStage(spark, dir,
+          Incremental.stateNames(dir, Incremental.NsigPrefix).head, "band_key",
+          Incremental.DefaultBuckets) {
+        sys.error("nsig must already be staged")
+      }.select(col("band"), col("band_key"), col("doc_id").as("id1"))
+      val plan = probe.join(state, Seq("band", "band_key"))
+        .queryExecution.executedPlan.toString
+      val scanIdx = plan.linesIterator.indexWhere(_.contains("Scan parquet"))
+      assert(scanIdx >= 0, s"no parquet scan in:\n$plan")
+      assert(!plan.linesIterator.toSeq.drop(scanIdx).exists(_.contains("Exchange")),
+        s"state index re-shuffled:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"state scan not bucket-aware:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set(kReq, prevReq)
+    }
+  }
+
   test("compact folds state into one stage; ingest continues correctly after it") {
     val dir = freshDir("compact")
     ingestAll(dir)
