@@ -336,6 +336,33 @@ object MlQueries {
       Ann.ivfTopK(assigned, cents, q, k = 10, nprobe = 8)
     }),
 
+    // E9: IVF index MAINTENANCE — append WITHOUT retraining: the index is
+    // trained and persisted on the first half of the corpus only
+    // (vec_id < 250), then the rest arrives in two appended batches,
+    // assigned against the STORED centroids (one broadcast-argmin pass
+    // over the new vectors — history never rescanned) into delta list
+    // tables. Full probe (nprobe = nlist) over base + deltas must equal
+    // brute force over the WHOLE corpus — the e3 oracle trick, which makes
+    // the append path value-checkable with zero dependence on the k-means
+    // seeds. Store rebuilt fresh per run (the append sequence IS the query).
+    "e9_ivf_append" -> ((s, dir) => {
+      val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfapp-" +
+        f"${dir.hashCode & 0x7fffffff}%08x"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeDir))
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 1)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val base = e.filter(col("vec_id") < 250)
+      val cents = Ann.ivfCentroids(base, "vec_id", "embedding", nlist = 8, iters = 2)
+      graft.ml.AnnStore.writeIvf(s, storeDir,
+        Ann.ivfAssign(base, "vec_id", "embedding", cents), cents)
+      graft.ml.AnnStore.appendIvf(s, storeDir, "b1",
+        e.filter(col("vec_id") >= 250 && col("vec_id") % 2 === 0), "vec_id", "embedding")
+      graft.ml.AnnStore.appendIvf(s, storeDir, "b2",
+        e.filter(col("vec_id") >= 250 && col("vec_id") % 2 === 1), "vec_id", "embedding")
+      graft.ml.AnnStore.ivfFromStore(s, storeDir, q, k = 10, nprobe = 8)
+    }),
+
     // E5: SQ8 scalar quantization of the embedding corpus (the ANN-index
     // memory-reduction step) — per-dim min/max, broadcast-joined codes,
     // summarized per vector as a positional checksum + clip count so the
@@ -1427,6 +1454,23 @@ object MlQueries {
     // gets a deterministic oracle (double summation differs from DuckDB's
     // far below the 1e-6 quantum)
     "e3_ann_ivf" ->
+      s"""WITH qv AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+         |    unnest(range(len(embedding))) AS pos
+         |  FROM embeddings WHERE vec_id = 1),
+         |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |    unnest(range(len(embedding))) AS pos
+         |  FROM embeddings),
+         |d AS (SELECT e.vec_id, SUM(e.v * q.v) AS dot,
+         |    SUM(e.v * e.v) AS n2, SUM(q.v * q.v) AS qn2
+         |  FROM ev e JOIN qv q ON e.pos = q.pos GROUP BY e.vec_id)
+         |SELECT vec_id, ${Derived.q6Sql("dot / (sqrt(n2) * sqrt(qn2))")} AS cos6
+         |FROM d ORDER BY cos6 DESC, vec_id LIMIT 10""".stripMargin,
+
+    // full probe over base + appended deltas covers every vector exactly
+    // once, so the oracle is the SAME brute-force top-k as e3 — append
+    // correctness reduces to "no vector lost, none duplicated, scored
+    // identically", independent of the k-means routing
+    "e9_ivf_append" ->
       s"""WITH qv AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
          |    unnest(range(len(embedding))) AS pos
          |  FROM embeddings WHERE vec_id = 1),

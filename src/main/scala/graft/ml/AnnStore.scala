@@ -94,11 +94,52 @@ object AnnStore {
       Ann.probeLists(coarse, query, nprobe))
   }
 
-  /** Probe-limited exact-cosine top-k over the persisted plain-IVF model. */
+  /** Completed delta stages appended by [[appendIvf]], in append order. */
+  def ivfDeltaNames(dir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) return Seq.empty
+    scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.list(root).iterator()).asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("ann_ivf_lists_d") && TableIO.isComplete(dir, n))
+      .toSeq.sorted
+  }
+
+  /**
+   * Append a batch of NEW vectors to the persisted plain-IVF index WITHOUT
+   * retraining — the index-maintenance step a serving deployment runs as
+   * the corpus grows (re-training the coarse quantizer per batch would
+   * re-scan history; the quantizer is a routing structure, and stale-but-
+   * fixed routing stays CORRECT because probes search whichever lists the
+   * same router assigned — recall degrades only as the data distribution
+   * drifts, the documented re-train trigger). The batch is assigned
+   * against the STORED centroids (one broadcast-argmin map pass over the
+   * new vectors only) and staged as its own PARTITIONED-BY-list delta
+   * table, so probes directory-prune base and deltas alike. Idempotent by
+   * batch name (TableIO stage semantics).
+   */
+  def appendIvf(spark: SparkSession, dir: String, batchName: String,
+                vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    require(batchName.nonEmpty && batchName.forall(c => c.isLetterOrDigit),
+      s"batch name must be alphanumeric: $batchName")
+    val centroids = centroidRows(spark, dir, "ann_ivf_centroids")
+      .sortBy(_._1).map(_._2)
+    TableIO.stage(spark, dir, s"ann_ivf_lists_d$batchName",
+      partitionBy = Seq("list")) {
+      Ann.ivfAssign(vecs, idCol, vecCol, centroids)
+    }
+  }
+
+  /** Probe-limited exact-cosine top-k over the persisted plain-IVF model —
+   *  base lists plus every [[appendIvf]] delta, all directory-pruned to the
+   *  probed lists. */
   def ivfFromStore(spark: SparkSession, dir: String, query: Seq[Double],
                    k: Int, nprobe: Int): DataFrame = {
     val centroids = centroidRows(spark, dir, "ann_ivf_centroids")
       .sortBy(_._1).map(_._2)
-    Ann.ivfProbeTopK(spark, s"$dir/ann_ivf_lists", centroids, query, k, nprobe)
+    val lists = (s"$dir/ann_ivf_lists" +: ivfDeltaNames(dir).map(n => s"$dir/$n"))
+      .map(p => spark.read.parquet(p).select(col("vec_id"), col("vec"), col("list")))
+      .reduce(_ unionByName _)
+    Ann.ivfTopK(lists, centroids, query, k, nprobe)
   }
 }
