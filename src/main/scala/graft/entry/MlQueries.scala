@@ -581,6 +581,29 @@ object MlQueries {
           "doc_id", "toks", PackBudget)
         .orderBy(col("doc_id"))),
 
+    // X18: INCREMENTAL shard packing — the export-end member of the
+    // incremental family: three id-range batches append to a persisted
+    // packed stream, each batch's offsets shifted by the stream total, so
+    // the combined layout is IDENTICAL to x12's one-shot pack over the
+    // whole corpus — which is exactly what the oracle checks (same SQL as
+    // x12: every off/shard must line up across the batch boundaries, the
+    // incremental path's whole correctness claim). History shards are
+    // never rewritten; each batch stages PARTITIONED BY shard.
+    "x18_incr_pack" -> ((s, dir) => {
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft-incrp-state-" +
+        f"${dir.hashCode & 0x7fffffff}%08x"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+      val t = docs(s, dir).select(col("doc_id"),
+        size(Derived.tokens(col("text"))).cast("long").as("toks"))
+      Seq(("b0", col("doc_id") < 170),
+          ("b1", col("doc_id") >= 170 && col("doc_id") < 340),
+          ("b2", col("doc_id") >= 340))
+        .map { case (nm, pred) =>
+          Incremental.ingestPack(s, stateDir, nm, t.filter(pred),
+            "doc_id", "toks", PackBudget)
+        }.reduce(_ unionByName _).orderBy(col("doc_id"))
+    }),
+
     // X15: SEMANTIC decontamination — the embedding twin of d9: a training
     // vector is flagged iff it cosine-matches any eval-suite vector above
     // the threshold. Cross-set LSH-bucketed match (pairs only form inside
@@ -1581,6 +1604,21 @@ object MlQueries {
     },
 
     "x12_pack_shards" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(${Derived.tokensSql("text")}) AS BIGINT) AS toks
+         |  FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    COALESCE(SUM(toks) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM t)
+         |SELECT doc_id, toks, CAST(off AS BIGINT) AS off,
+         |  CAST(off // $PackBudget AS BIGINT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // incremental pack ≡ one-shot pack over the concatenation: the oracle
+    // is x12's single-threaded global window — offsets and shards must
+    // line up bit-exactly across the three batch boundaries
+    "x18_incr_pack" ->
       s"""WITH t AS (SELECT doc_id,
          |    CAST(len(${Derived.tokensSql("text")}) AS BIGINT) AS toks
          |  FROM documents),

@@ -257,6 +257,69 @@ object Incremental {
     } finally spark.conf.set(kReq, prev)
   }
 
+  /** Stage-name prefix for appended training-shard batches. */
+  val PackPrefix = "pack_"
+
+  /**
+   * Incremental SHARD PACKING — the export-end member of the incremental
+   * family: append an arriving batch to an existing packed training stream
+   * without repacking history. The batch is packed with [[Packing
+   * .tokenBudgetShards]]' two-pass distributed prefix scan, its offsets
+   * shifted by the persisted stream total, so the combined layout is
+   * IDENTICAL to a one-shot pack over the concatenated corpus (the x12
+   * oracle applies unchanged) — history shards are never rewritten; at
+   * most the boundary shard gains rows in the new batch's own stage.
+   *
+   * Contract: ids must be globally monotonic across batches (batch min id
+   * > all prior ids — natural for time-ordered crawl snapshots, REQUIRED
+   * because the one-shot layout orders by id); enforced with one bounded
+   * aggregate per prior stage. Each batch stages as `pack_<seq>_<batch>`
+   * PARTITIONED BY shard — a dataloader reading shard k directory-prunes
+   * every stage (the delta-read pattern shared with [[graft.ml.AnnStore]]).
+   * The stream total is re-derived as Σ per-stage sum(toks) (one
+   * column-pruned batch-sized aggregate each — production would record it
+   * in the stage manifest; the rescan keeps this self-contained).
+   * Idempotent by batch name. Returns the batch's packed rows
+   * (id, toks, off, shard).
+   */
+  def ingestPack(spark: SparkSession, stateDir: String, batchName: String,
+                 batch: DataFrame, idCol: String, toksCol: String,
+                 budget: Long): DataFrame = {
+    require(batchName.nonEmpty && batchName.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '.'),
+      s"batch name must be [A-Za-z0-9.-]+: $batchName")
+    val prior = stateNames(stateDir, PackPrefix)
+    prior.find(_.split("_", 3).last == batchName) match {
+      case Some(existing) =>
+        // partition-directory type inference narrows shard to int — restore
+        // the packer's long (offsets reach ~1e14/budget at 100 TB)
+        return spark.read.parquet(s"$stateDir/$existing")
+          .select(col(idCol), col("toks"), col("off"), col("shard").cast("long").as("shard"))
+      case None => ()
+    }
+    Files.createDirectories(Paths.get(stateDir))
+    val (base, maxPrior) = prior.foldLeft((0L, Long.MinValue)) { case ((b, m), st) =>
+      val r = spark.read.parquet(s"$stateDir/$st")
+        .agg(sum(col("toks")), max(col(idCol))).head()
+      (b + r.getLong(0), math.max(m, r.getLong(1)))
+    }
+    if (prior.nonEmpty) {
+      val minId = batch.agg(min(col(idCol))).head().getLong(0)
+      require(minId > maxPrior,
+        s"ids must be monotonic across batches: batch min $minId <= prior max " +
+          s"$maxPrior — the packed layout orders by id, so out-of-order ids " +
+          "would require repacking history")
+    }
+    val name = f"$PackPrefix${nextSeq(prior, PackPrefix)}%06d_$batchName"
+    val packed = Packing.tokenBudgetShards(
+        batch.select(col(idCol), col(toksCol).cast("long").as("toks")),
+        idCol, "toks", budget)
+      .withColumn("off", col("off") + lit(base))
+      .withColumn("shard", expr(s"off div ${budget}L"))
+    TableIO.stage(spark, stateDir, name, partitionBy = Seq("shard")) { packed }
+      .select(col(idCol), col("toks"), col("off"), col("shard").cast("long").as("shard"))
+  }
+
   /**
    * Log-structured maintenance: fold every state stage into ONE bucketed
    * stage and retire the originals, so ingest cost returns to a single

@@ -204,6 +204,45 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental pack: offsets continue across batches == one-shot pack") {
+    val dir = freshDir("pack")
+    // budget 10: batch 0 ends mid-shard (17 toks -> doc 3 starts shard 1 at
+    // off 17? no: offs 0,5,12 -> shard 0,0,1), batch 1 must continue at 17
+    val b0 = Seq((1L, 5L), (2L, 7L), (3L, 5L)).toDF("doc_id", "toks")
+    val b1 = Seq((10L, 4L), (11L, 9L)).toDF("doc_id", "toks")
+    val p0 = graft.ml.Incremental.ingestPack(spark, dir, "p0", b0, "doc_id", "toks", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val p1 = graft.ml.Incremental.ingestPack(spark, dir, "p1", b1, "doc_id", "toks", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(p0 == Set((1L, 0L, 0L), (2L, 5L, 0L), (3L, 12L, 1L)))
+    // stream total after b0 = 17: doc 10 at off 17 (shard 1 — the BOUNDARY
+    // shard gains rows in the new batch's stage), doc 11 at off 21 (shard 2)
+    assert(p1 == Set((10L, 17L, 1L), (11L, 21L, 2L)))
+    // one-shot equivalence
+    val oneShot = graft.ml.Packing.tokenBudgetShards(
+        b0.unionByName(b1), "doc_id", "toks", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(oneShot == p0 ++ p1)
+    // resume by name returns the staged rows
+    val again = graft.ml.Incremental.ingestPack(spark, dir, "p1", b1, "doc_id", "toks", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(again == p1)
+    // non-monotonic ids refuse loudly (history would need repacking)
+    intercept[IllegalArgumentException] {
+      graft.ml.Incremental.ingestPack(spark, dir, "p2",
+        Seq((5L, 3L)).toDF("doc_id", "toks"), "doc_id", "toks", 10L)
+    }
+    // a dataloader reading shard 1 directory-prunes every stage
+    val s1 = Seq("pack_000000_p0", "pack_000001_p1").map { st =>
+      spark.read.parquet(s"$dir/$st").filter(col("shard") === 1)
+    }.reduce(_ unionByName _)
+    assert(s1.select("doc_id").as[Long].collect().toSet == Set(3L, 10L))
+    val plan = s1.queryExecution.executedPlan.toString
+    val pfs = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pfs.size == 2 && pfs.forall(_.contains("shard")),
+      s"shard read not partition-pruned:\n$plan")
+  }
+
   test("compact folds state into one stage; ingest continues correctly after it") {
     val dir = freshDir("compact")
     ingestAll(dir)
