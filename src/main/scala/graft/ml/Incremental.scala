@@ -304,7 +304,9 @@ object Incremental {
       (b + r.getLong(0), math.max(m, r.getLong(1)))
     }
     if (prior.nonEmpty) {
-      val minId = batch.agg(min(col(idCol))).head().getLong(0)
+      val minIdRow = batch.agg(min(col(idCol))).head()
+      require(!minIdRow.isNullAt(0), s"batch $batchName is empty — nothing to append")
+      val minId = minIdRow.getLong(0)
       require(minId > maxPrior,
         s"ids must be monotonic across batches: batch min $minId <= prior max " +
           s"$maxPrior — the packed layout orders by id, so out-of-order ids " +
