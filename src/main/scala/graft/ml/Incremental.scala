@@ -84,6 +84,20 @@ object Incremental {
     names.sorted
   }
 
+  /** Free a localCheckpoint'ed DataFrame's storage blocks: `Dataset
+   *  .unpersist` only clears CacheManager entries, but an eager local
+   *  checkpoint lives as persisted partitions of the RDD inside the
+   *  resulting `LogicalRDD` leaf — unpersist THAT (the Components
+   *  releaseResults lesson, applied to checkpointed Datasets). A later
+   *  action on the released frame fails rather than silently recomputing
+   *  (local checkpoints truncate lineage), so release only after every
+   *  consumer has run — here: after the stage writes. */
+  private def releaseCheckpoint(dfs: DataFrame*): Unit =
+    dfs.filter(_ != null).foreach(_.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    })
+
   private def stateTable(spark: SparkSession, stateDir: String,
                          name: String, key: String = "h"): DataFrame =
     TableIO.bucketedStage(spark, stateDir, name, key, DefaultBuckets) {
@@ -210,14 +224,26 @@ object Incremental {
     val priorSigs = nsigPrior.filterNot(_ == nsigName)
     val priorDocs = ndocPrior.filterNot(_ == ndocName)
 
+    // phase timers (stdout, gated): SPARK_GRAFT_INGEST_DIAG=1
+    val diag = sys.env.get("SPARK_GRAFT_INGEST_DIAG").contains("1")
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = if (diag) {
+      val now = System.nanoTime()
+      println(f"INGESTDIAG $batchName $name ${(now - tPhase) / 1e9}%.1f s")
+      tPhase = now
+    }
     val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .localCheckpoint(true)
     val sigs = Dedup.minhashSignatures(b, "doc_id", "text").localCheckpoint(true)
+    phase("sigs")
     // in-batch: reject the larger id of every refined candidate pair
     val inPairs = Dedup.minhashCandidates(sigs, maxBucket)
     val inRejects = Dedup.jaccardRefine(b, "doc_id", "text", shingleN, threshold, inPairs)
       .select(col("id2").as("doc_id")).distinct()
     val inOk = b.join(inRejects, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    phase("inbatch")
+    var cands: DataFrame = null
+    var refineIn: DataFrame = null
 
     val kReq = "spark.sql.requireAllClusterKeysForCoPartition"
     val prev = spark.conf.get(kReq)
@@ -225,14 +251,41 @@ object Incremental {
     try {
       val accepted = if (priorSigs.isEmpty) inOk else {
         // probe the banded state index: survivors' band keys vs each stage
-        val probe = Dedup.minhashBands(
+        val rawProbe = Dedup.minhashBands(
           sigs.join(inOk.select(col("doc_id")), Seq("doc_id"), "left_semi"))
-        val cands = priorSigs.map { st =>
+        // the cross probe needs the SAME discriminativeness cap as
+        // minhashCandidates: char-trigram banding is weak on short text
+        // (universal trigrams make a few band keys corpus-wide hot), and an
+        // uncapped probe forms |bucket_batch| x |bucket_state| pairs PER
+        // STAGE — measured 2.3M candidate pairs per 20k-doc batch against
+        // ONE 20k-doc stage (ScaleIncrNear), growing linearly with state.
+        // Dropping the probe side of a hot key suffices (the state side
+        // then never matches); true near-dups survive via their other,
+        // discriminative bands — the minhashCandidates rationale.
+        val probe = maxBucket match {
+          case None => rawProbe
+          case Some(cap) =>
+            val stateCnt = priorSigs.map { st =>
+              stateTable(spark, stateDir, st, key = "band_key")
+                .select(col("band"), col("band_key"))
+            }.reduce(_ unionByName _)
+              .groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("sn"))
+            val ok = rawProbe.groupBy(col("band"), col("band_key"))
+              .agg(count(lit(1)).as("pn"))
+              .join(stateCnt, Seq("band", "band_key"), "left")
+              .filter(col("pn") + coalesce(col("sn"), lit(0L)) <= cap)
+              .select(col("band"), col("band_key"))
+            rawProbe.join(ok, Seq("band", "band_key"))
+              .select(col("doc_id"), col("band"), col("band_key"))
+        }
+        cands = priorSigs.map { st =>
           val state = stateTable(spark, stateDir, st, key = "band_key")
             .select(col("band"), col("band_key"), col("doc_id").as("id1"))
           probe.join(state, Seq("band", "band_key"))
             .select(col("id1"), col("doc_id").as("id2"))
         }.reduce(_ unionByName _).distinct().localCheckpoint(true)
+        if (diag) println(s"INGESTDIAG $batchName cands_rows=${cands.count()}")
+        phase("probe")
         // refine only the candidate partners: state text via doc_id
         // semi-joins against the bucketed ndoc tables, never a full rescan
         val partnerIds = cands.select(col("id1").as("doc_id")).distinct()
@@ -241,20 +294,35 @@ object Incremental {
             .join(partnerIds, Seq("doc_id"), "left_semi")
             .select(col("doc_id"), col("text"))
         }.reduce(_ unionByName _)
+        // MATERIALIZE the refine input: jaccardRefine references its
+        // shingle table in four plan positions, so an un-checkpointed
+        // (batch ∪ k-stage-union) subtree is embedded 4x and the plan
+        // grows with the stage count — measured 74 s -> 135 s per added
+        // stage at 20k docs/batch before this leaf, flat after
+        refineIn = inOk.unionByName(partners).localCheckpoint(true)
+        if (diag) println(s"INGESTDIAG $batchName refine_in_rows=${refineIn.count()}")
         val crossRejects = Dedup.jaccardRefine(
-            inOk.unionByName(partners), "doc_id", "text", shingleN, threshold, cands)
+            refineIn, "doc_id", "text", shingleN, threshold, cands)
           .select(col("id2").as("doc_id")).distinct()
         inOk.join(crossRejects, Seq("doc_id"), "left_anti")
       }
       val ndoc = TableIO.bucketedStage(spark, stateDir, ndocName, "doc_id",
         DefaultBuckets) { accepted.select(col("doc_id"), col("text")) }
+      phase("ndoc")
       TableIO.bucketedStage(spark, stateDir, nsigName, "band_key", DefaultBuckets) {
         Dedup.minhashBands(
           sigs.join(ndoc.select(col("doc_id")), Seq("doc_id"), "left_semi"))
           .select(col("band_key"), col("band"), col("doc_id"))
       }
+      phase("nsig")
       ndoc
-    } finally spark.conf.set(kReq, prev)
+    } finally {
+      spark.conf.set(kReq, prev)
+      // release this ingest's checkpoint blocks: both outputs are staged on
+      // disk, so the intermediates would only pile up across a long-running
+      // ingest loop
+      releaseCheckpoint(b, sigs, inOk, cands, refineIn)
+    }
   }
 
   /** Stage-name prefix for appended training-shard batches. */

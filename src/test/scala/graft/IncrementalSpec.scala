@@ -162,6 +162,27 @@ class IncrementalSpec extends AnyFunSuite {
     assert(ingestNear(dir, 1, Seq((20L, tA)), threshold = 1.01) == Set(20L))
   }
 
+  test("near-dup ingest maxBucket: hot cross-probe buckets dropped, small buckets refine") {
+    val dir = freshDir("near-cap")
+    // 40 identical docs saturate their band buckets; with cap=5 the
+    // in-batch candidates for them are dropped (bucket carries no near-dup
+    // signal — exact dedup's job, per the minhashCandidates rationale), so
+    // all 40 are accepted into state alongside the tB seed
+    val flood = (0L until 40L).map(i => (i, tA)) :+ (100L, tB)
+    val a0 = Incremental.ingestMinhash(spark, dir, "c0", flood.toDF("doc_id", "text"),
+        "doc_id", "text", 0.7, maxBucket = Some(5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a0.size == 41)
+    // batch 1: another tA lands in state-hot buckets (40 > cap) -> probe
+    // drops them -> accepted (the documented recall trade); tB2 lives in
+    // small buckets -> candidate vs tB -> refined -> rejected
+    val a1 = Incremental.ingestMinhash(spark, dir, "c1",
+        Seq((200L, tA), (201L, tB2)).toDF("doc_id", "text"),
+        "doc_id", "text", 0.7, maxBucket = Some(5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a1 == Set(200L))
+  }
+
   test("near-dup ingest resumes by batch name without recompute") {
     val dir = freshDir("near-resume")
     ingestNear(dir, 0, Seq((10L, tA), (11L, tX)))
