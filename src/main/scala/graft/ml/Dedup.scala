@@ -118,6 +118,16 @@ object Dedup {
    * banding prefilters, this verifies) — intersection counts are computed
    * only for the given pairs, never all-pairs. Output: (id1, id2) of pairs
    * with shingle-Jaccard >= threshold.
+   *
+   * Plan contract: the shingle table derived from `docs` appears in FOUR
+   * plan positions (both sides of the intersection join + both size
+   * lookups), so `docs` is evaluated up to 4x — pass a MATERIALIZED
+   * (checkpointed) frame whenever its subtree is expensive (unions,
+   * bucketed reads, other joins). Curation and Incremental both do;
+   * measured: an un-materialized union input grew the incremental
+   * ingest's refine by ~60 s per embedded state stage (BENCH.md,
+   * ScaleIncrNear). `pairs` must be DISTINCT — duplicate pairs double-
+   * count intersections and inflate the computed similarity.
    */
   def jaccardRefine(docs: DataFrame, idCol: String, textCol: String,
                     n: Int, threshold: Double, pairs: DataFrame): DataFrame = {
