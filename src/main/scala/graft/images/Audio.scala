@@ -116,8 +116,10 @@ object Audio {
    *  synthesized from the documents table; encode is partition-parallel
    *  and bytes never travel through a shuffle. */
   def audioTable(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
+    // single-split sf input would serialize the whole encode on one core —
+    // right-size at the synthesis root (no-op when splits >= parallelism)
+    val docs = Images.parallelized(spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")))
     val rdd = docs.rdd.mapPartitions(_.map { r =>
       val id = r.getLong(0)
       Row(f"aud_$id%012d", encodeWav(samples(id)), SampleRate, NumSamples,

@@ -34,6 +34,51 @@ object Images {
   val W = 16
   val H = 16
 
+  // Memory-backed ImageIO streams: the default file-cache mode creates and
+  // deletes a temp file per encode/decode call, which dominates wall time
+  // for 16x16 payloads (guide §1.2 step 2: per-task work). Output bytes and
+  // decoded pixels are plugin-identical either way.
+  ImageIO.setUseCache(false)
+
+  // Per-thread codec instances: ImageIO.read/write walk the plugin registry
+  // and construct a fresh reader/writer per call; the codec families decode
+  // tens of thousands of tiny frames per task, so construction dominates.
+  // Task threads are pooled and bounded, so so is the instance count. Same
+  // plugin class => identical bytes and pixels (ImagesSpec goldens + the
+  // DuckDB pixel oracles hold unchanged).
+  private val pngWriterTL = ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+    ImageIO.getImageWritersByFormatName("png").next())
+  private val jpegWriterTL = ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+    ImageIO.getImageWritersByFormatName("jpeg").next())
+  private val pngReaderTL = ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+    ImageIO.getImageReadersByFormatName("png").next())
+  private val jpegReaderTL = ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+    ImageIO.getImageReadersByFormatName("jpeg").next())
+
+  private def readWith(tl: ThreadLocal[javax.imageio.ImageReader],
+                       bytes: Array[Byte]): BufferedImage = {
+    val reader = tl.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally {
+      reader.setInput(null)
+      iis.close()
+    }
+  }
+
+  /** Right-size the partitioning of a synthesis root: the sf documents
+   *  table ships as ONE parquet split, which would serialize every per-row
+   *  codec stage on one core (the [[graft.ml.Curation.plan]] fan-out-root
+   *  lesson). No-op at warehouse scale, where inputs already carry >=
+   *  defaultParallelism splits. */
+  private[images] def parallelized(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Deterministic RGB pixels for image `id`: smooth per-channel gradients
    *  with LCG-seeded offsets/slopes. Smooth content keeps JPEG at
    *  quality 0.95 comfortably above the 40 dB PSNR invariant (pure noise
@@ -103,14 +148,22 @@ object Images {
     val img = toBufferedImage(px, w, h)
     val bos = new ByteArrayOutputStream()
     if (fmt == "jpeg") {
-      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val writer = jpegWriterTL.get()
       val params = writer.getDefaultWriteParam
       params.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
       params.setCompressionQuality(0.95f)
       val ios = ImageIO.createImageOutputStream(bos)
       writer.setOutput(ios)
       writer.write(null, new IIOImage(img, null, null), params)
-      writer.dispose(); ios.close()
+      writer.setOutput(null); ios.close()
+    } else if (fmt == "png") {
+      val writer = pngWriterTL.get()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      // same call chain ImageIO.write(img, "png", bos) bottoms out in:
+      // default param, no metadata — byte-identical output
+      writer.write(null, new IIOImage(img, null, null), null)
+      writer.setOutput(null); ios.close()
     } else {
       ImageIO.write(img, fmt, bos)
     }
@@ -130,12 +183,25 @@ object Images {
    *  pass. */
   def tryDecode(bytes: Array[Byte]): Option[Array[Int]] =
     try {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      // sniff the two formats the tables carry and reuse the thread-local
+      // reader (same plugin ImageIO.read would pick); anything else falls
+      // through to the registry path, so behavior for odd-but-valid bytes
+      // is unchanged. A post-magic corrupt row throws inside read -> None,
+      // exactly like the registry path.
+      val img =
+        if (bytes.length >= 8 && bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte &&
+            bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte)
+          readWith(pngReaderTL, bytes)
+        else if (bytes.length >= 2 && bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte)
+          readWith(jpegReaderTL, bytes)
+        else ImageIO.read(new ByteArrayInputStream(bytes))
       if (img == null) None
       else {
         val out = new Array[Int](img.getWidth * img.getHeight)
         img.getRGB(0, 0, img.getWidth, img.getHeight, out, 0, img.getWidth)
-        Some(out.map(_ & 0xffffff))
+        var i = 0
+        while (i < out.length) { out(i) &= 0xffffff; i += 1 }
+        Some(out)
       }
     } catch { case _: Exception => None }
 
@@ -168,8 +234,8 @@ object Images {
   /** Build the image table from the documents table (caption = text),
    *  encoding pixels partition-parallel. fmt cycles png/jpeg by id. */
   def imageTable(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
+    val docs = parallelized(spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")))
     val rdd = docs.rdd.mapPartitions(_.map { r =>
       val id = r.getLong(0)
       val fmt = if (id % 2 == 0) "png" else "jpeg"
@@ -577,7 +643,8 @@ object Images {
    *  precision probe. thumb_id carries the seed ('th_%012d'), so the
    *  oracle can re-derive the expected match set. */
   def thumbTable(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+    val docs = parallelized(
+      spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id")))
     val rdd = docs.rdd.mapPartitions(_.flatMap { r =>
       val id = r.getLong(0)
       def mk(seed: Long): Row = {

@@ -236,8 +236,10 @@ object Video {
    *  frames, lossless) / avi-mjpg (JPEG frames, lossy) by id; encode is
    *  partition-parallel and bytes never travel through a shuffle. */
   def videoTable(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
+    // single-split sf input would serialize the whole encode on one core —
+    // right-size at the synthesis root (no-op when splits >= parallelism)
+    val docs = Images.parallelized(spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")))
     val rdd = docs.rdd.mapPartitions(_.map { r =>
       val vid = r.getLong(0)
       val (imgFmt, fourcc, fmt) =
