@@ -77,6 +77,22 @@ object MlQueries {
   private def emb(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Scratch root for the ingest-state queries (d10/d11/e9/x18), which
+   *  delete and rebuild their state EVERY run (nothing persists across
+   *  invocations — the ingest sequence IS the query). Placement follows
+   *  the Bench.localDir rationale: this VM's ext4 charges heavy kernel
+   *  time to many-small-file writes (a 500-file shard stage pays seconds
+   *  of commit-rename latency), which measures the disk, not the engine —
+   *  tmpfs when available, `SPARK_GRAFT_LOCAL_DIR` overrides, plain
+   *  java.io.tmpdir otherwise. Production ingest state lives on durable
+   *  storage; the constant-factor wall of the write path is unchanged. */
+  private def scratchRoot: String =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").getOrElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm)) "/dev/shm/graft-state"
+      else System.getProperty("java.io.tmpdir")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1: exact dedup (hash groupBy), deterministic keep rule
     "d1_dedup_exact" -> ((s, dir) =>
@@ -154,7 +170,7 @@ object MlQueries {
     // ROW_NUMBER-over-batch reproduces. State is rebuilt fresh per run
     // (the ingest sequence IS the query).
     "d10_incr_dedup" -> ((s, dir) => {
-      val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft-incr-state-" +
+      val stateDir = s"$scratchRoot/graft-incr-state-" +
         f"${dir.hashCode & 0x7fffffff}%08x"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
       val base = docs(s, dir).select(col("doc_id"), col("text"))
@@ -180,7 +196,7 @@ object MlQueries {
     // oracle unrolls as three acceptance CTEs over the one global
     // banding+refine pair list.
     "d11_incr_near_dedup" -> ((s, dir) => {
-      val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft-incrn-state-" +
+      val stateDir = s"$scratchRoot/graft-incrn-state-" +
         f"${dir.hashCode & 0x7fffffff}%08x"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
       val d = docs(s, dir).filter(col("doc_id") < NearMaxId)
@@ -346,7 +362,7 @@ object MlQueries {
     // the append path value-checkable with zero dependence on the k-means
     // seeds. Store rebuilt fresh per run (the append sequence IS the query).
     "e9_ivf_append" -> ((s, dir) => {
-      val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfapp-" +
+      val storeDir = s"$scratchRoot/graft-ivfapp-" +
         f"${dir.hashCode & 0x7fffffff}%08x"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeDir))
       val e = emb(s, dir)
@@ -590,7 +606,7 @@ object MlQueries {
     // incremental path's whole correctness claim). History shards are
     // never rewritten; each batch stages PARTITIONED BY shard.
     "x18_incr_pack" -> ((s, dir) => {
-      val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft-incrp-state-" +
+      val stateDir = s"$scratchRoot/graft-incrp-state-" +
         f"${dir.hashCode & 0x7fffffff}%08x"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
       val t = docs(s, dir).select(col("doc_id"),
