@@ -525,8 +525,10 @@ object MlQueries {
     // structurally (gate from text, dup classes from the id arithmetic)
     // — it never needs the codec-dependent jpeg checksum values.
     "x10_mm_curation" -> ((s, dir) => {
-      val imgs = Images.imageTable(s, dir)
-      val all = imgs.unionByName(Images.resaveTable(imgs))
+      // single-pass synthesis: imageTable ∪ resaveTable(imageTable)
+      // re-encoded every source image twice (RDD lineage referenced twice);
+      // the fused table is row-identical and the query only aggregates
+      val all = Images.imageTableWithResaves(s, dir)
       val keys = Images.decodeChk(all)
         .withColumn("doc_id", substring(col("image_id"), 5, 12).cast("long"))
       val okDocs = docs(s, dir)

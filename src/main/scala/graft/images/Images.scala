@@ -255,9 +255,16 @@ object Images {
       StructField("image_id", StringType, nullable = false),
       StructField("fmt", StringType, nullable = false),
       StructField("psnr4", LongType, nullable = false),
-      StructField("pixels_ok", BooleanType, nullable = false)))
+      StructField("pixels_ok", BooleanType, nullable = false),
+      StructField("caption", StringType, nullable = true)))
+    // caption rides THROUGH the decode pass instead of being re-selected
+    // from `images`: the image table is a synthesis/decode RDD lineage that
+    // column pruning cannot reach, so a second reference re-ran the whole
+    // encode pass just to read (image_id, caption) — one pass now feeds
+    // both the pixel check and the caption join (guide §2.4: the decision
+    // inputs travel once)
     val checked = spark.createDataFrame(
-      images.select("image_id", "bytes", "fmt").rdd.mapPartitions(_.map { r =>
+      images.select("image_id", "bytes", "fmt", "caption").rdd.mapPartitions(_.map { r =>
         val decodedOpt = tryDecode(r.getAs[Array[Byte]]("bytes"))
         // a malformed id is corruption too: no expected matrix to verify
         // against — reported like undecodable bytes, never thrown
@@ -271,19 +278,18 @@ object Images {
             val p = psnrDb(expected, decoded)
             val ok = if (r.getString(2) == "png") decoded.sameElements(expected) else p >= 40.0
             val pq = if (p.isInfinite) 9999999L else math.round(p * 10000)
-            Row(r.getString(0), r.getString(2), pq, ok)
-          case _ => Row(r.getString(0), r.getString(2), -1L, false)
+            Row(r.getString(0), r.getString(2), pq, ok, r.getString(3))
+          case _ => Row(r.getString(0), r.getString(2), -1L, false, r.getString(3))
         }
       }), outSchema)
     // LEFT join: a row whose doc_id has no documents match must still be
     // REPORTED (caption_ok=false), not silently dropped from the verify
     // output by an inner join
-    val capOk = images.select(col("image_id"), col("caption"))
+    checked
       .withColumn("doc_id", substring(col("image_id"), 5, 12).cast("long"))
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"), "left")
-      .select(col("image_id"),
+      .select(col("image_id"), col("fmt"), col("psnr4"), col("pixels_ok"),
         coalesce(col("caption") === col("text"), lit(false)).as("caption_ok"))
-    checked.join(capOk, Seq("image_id"))
   }
 
   /**
@@ -533,6 +539,38 @@ object Images {
             byteCopy ++ resave
           }
       })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** [[imageTable]] ∪ [[resaveTable]] in ONE synthesis pass — row-for-row
+   *  the same table the union produces (same ids, bytes, captions), but
+   *  each source image is synthesized and encoded ONCE: the union form
+   *  referenced the imageTable RDD lineage twice (once directly, once
+   *  inside resaveTable), and column pruning cannot reach through an RDD
+   *  boundary, so the whole encode pass ran twice (guide §2.4). Union
+   *  order differs (copies follow their original instead of trailing the
+   *  table) — callers aggregate or sort, never rely on row order. */
+  def imageTableWithResaves(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = parallelized(spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")))
+    val rdd = docs.rdd.mapPartitions(_.flatMap { r =>
+      val id = r.getLong(0)
+      val fmt = if (id % 2 == 0) "png" else "jpeg"
+      val px = pixels(id)
+      val enc = encode(px, fmt)
+      val ph = phash(px)
+      val cap = r.getString(1)
+      val suffix = f"$id%012d"
+      val orig = Row(s"img_$suffix", enc, W, H, fmt, cap, ph)
+      val byteCopy =
+        if (id % 5 == 0) Seq(Row(s"zcp_$suffix", enc, W, H, fmt, cap, ph)) else Nil
+      val resave =
+        if (id % 10 == 3)
+          tryDecode(enc).map(dec =>
+            Row(s"zpx_$suffix", encodeWH(dec, W, H, "png"), W, H, "png", cap, ph)).toSeq
+        else Nil
+      orig +: (byteCopy ++ resave)
+    })
     spark.createDataFrame(rdd, schema)
   }
 

@@ -350,9 +350,14 @@ object Video {
       StructField("fmt", StringType, nullable = false),
       StructField("n_frames", IntegerType, nullable = false),
       StructField("frames_ok", BooleanType, nullable = false),
-      StructField("meta_ok", BooleanType, nullable = false)))
+      StructField("meta_ok", BooleanType, nullable = false),
+      StructField("caption", StringType, nullable = true)))
+    // caption rides THROUGH the decode pass (the Images.decodeVerify fix):
+    // a second reference to `videos` re-ran the whole frame-encode
+    // synthesis just to read (video_id, caption)
     val checked = spark.createDataFrame(
-      videos.select("video_id", "bytes", "fmt", "n_frames").rdd.mapPartitions(_.map { r =>
+      videos.select("video_id", "bytes", "fmt", "n_frames", "caption")
+        .rdd.mapPartitions(_.map { r =>
         val idOpt = scala.util.Try(r.getString(0).stripPrefix("vid_").toLong).toOption
         val aviOpt = tryDecodeAvi(r.getAs[Array[Byte]]("bytes"))
         val lossless = r.getString(2) == "avi-mpng"
@@ -370,19 +375,19 @@ object Video {
               }
             }
             Row(r.getString(0), r.getString(2), r.getAs[Int]("n_frames"),
-              framesOk, metaOk)
+              framesOk, metaOk, r.getString(4))
           case _ =>
             Row(r.getString(0), r.getString(2), r.getAs[Int]("n_frames"),
-              false, false)
+              false, false, r.getString(4))
         }
       }), outSchema)
     // LEFT join, like Images.decodeVerify: an unmatched caption must be
     // REPORTED false, not dropped
-    val capOk = videos.select(col("video_id"), col("caption"))
+    checked
       .withColumn("doc_id", substring(col("video_id"), 5, 12).cast("long"))
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"), "left")
-      .select(col("video_id"),
+      .select(col("video_id"), col("fmt"), col("n_frames"), col("frames_ok"),
+        col("meta_ok"),
         coalesce(col("caption") === col("text"), lit(false)).as("caption_ok"))
-    checked.join(capOk, Seq("video_id"))
   }
 }

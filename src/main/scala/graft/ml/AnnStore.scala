@@ -36,15 +36,18 @@ object AnnStore {
                  coarse: Array[Array[Double]],
                  fine: Array[Array[Array[Double]]]): Unit = {
     import spark.implicits._
-    TableIO.stage(spark, dir, "ann_coarse") {
+    // write-only stages: the returned handles were discarded, and each
+    // construction ran partition discovery over the fresh stage (TableIO
+    // .stageWrite scaladoc)
+    TableIO.stageWrite(spark, dir, "ann_coarse") {
       coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("list", "centroid")
     }
-    TableIO.stage(spark, dir, "ann_fine") {
+    TableIO.stageWrite(spark, dir, "ann_fine") {
       (for (s <- fine.indices; c <- fine(s).indices)
         yield (s, c, fine(s)(c).toSeq)).toDF("s", "c", "centroid")
     }
-    TableIO.stage(spark, dir, "ann_lists", partitionBy = Seq("list")) { index }
+    TableIO.stageWrite(spark, dir, "ann_lists", partitionBy = Seq("list")) { index }
   }
 
   /** Persist a trained plain-IVF model (centroids + [[Ann.ivfAssign]]
@@ -53,11 +56,11 @@ object AnnStore {
   def writeIvf(spark: SparkSession, dir: String, assigned: DataFrame,
                centroids: Array[Array[Double]]): Unit = {
     import spark.implicits._
-    TableIO.stage(spark, dir, "ann_ivf_centroids") {
+    TableIO.stageWrite(spark, dir, "ann_ivf_centroids") {
       centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("list", "centroid")
     }
-    TableIO.stage(spark, dir, "ann_ivf_lists", partitionBy = Seq("list")) { assigned }
+    TableIO.stageWrite(spark, dir, "ann_ivf_lists", partitionBy = Seq("list")) { assigned }
   }
 
   private def centroidRows(spark: SparkSession, dir: String,
@@ -98,11 +101,14 @@ object AnnStore {
   def ivfDeltaNames(dir: String): Seq[String] = {
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(root)) return Seq.empty
-    scala.jdk.CollectionConverters.IteratorHasAsScala(
-        java.nio.file.Files.list(root).iterator()).asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("ann_ivf_lists_d") && TableIO.isComplete(dir, n))
-      .toSeq.sorted
+    // close the directory stream deterministically (fd-per-call leak
+    // otherwise — the Incremental.stateNames lesson)
+    scala.util.Using.resource(java.nio.file.Files.list(root)) { s =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("ann_ivf_lists_d") && TableIO.isComplete(dir, n))
+        .toSeq
+    }.sorted
   }
 
   /**
@@ -122,12 +128,17 @@ object AnnStore {
                 vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     require(batchName.nonEmpty && batchName.forall(c => c.isLetterOrDigit),
       s"batch name must be alphanumeric: $batchName")
+    val name = s"ann_ivf_lists_d$batchName"
+    // resume path unchanged: a completed batch is read back, never
+    // recomputed. The write path returns the assigned rows it just staged
+    // (identical by the write's contract) instead of re-listing the fresh
+    // stage's partition directories (TableIO.stageWrite scaladoc).
+    if (TableIO.isComplete(dir, name)) return spark.read.parquet(s"$dir/$name")
     val centroids = centroidRows(spark, dir, "ann_ivf_centroids")
       .sortBy(_._1).map(_._2)
-    TableIO.stage(spark, dir, s"ann_ivf_lists_d$batchName",
-      partitionBy = Seq("list")) {
-      Ann.ivfAssign(vecs, idCol, vecCol, centroids)
-    }
+    val assigned = Ann.ivfAssign(vecs, idCol, vecCol, centroids)
+    TableIO.stageWrite(spark, dir, name, partitionBy = Seq("list")) { assigned }
+    assigned
   }
 
   /** Probe-limited exact-cosine top-k over the persisted plain-IVF model —

@@ -119,9 +119,9 @@ object Dedup {
    * only for the given pairs, never all-pairs. Output: (id1, id2) of pairs
    * with shingle-Jaccard >= threshold.
    *
-   * Plan contract: the shingle table derived from `docs` appears in FOUR
-   * plan positions (both sides of the intersection join + both size
-   * lookups), so `docs` is evaluated up to 4x — pass a MATERIALIZED
+   * Plan contract: the shingle table derived from `docs` appears in SIX
+   * plan positions (both sides of the intersection join + four size
+   * lookups), so `docs` is evaluated up to 6x — pass a MATERIALIZED
    * (checkpointed) frame whenever its subtree is expensive (unions,
    * bucketed reads, other joins). Curation and Incremental both do;
    * measured: an un-materialized union input grew the incremental
@@ -142,7 +142,26 @@ object Dedup {
                     n: Int, threshold: Double, pairs: DataFrame): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    pairs.select(col("id1"), col("id2"))
+    // Size-ratio prefilter (guide §3.2: shrink the big join's input with a
+    // cheap exact precondition): |A∩B| <= min(|A|,|B|) and |A∪B| >=
+    // max(|A|,|B|), so J(A,B) <= min/max — a pair whose shingle-count ratio
+    // is below the threshold can NEVER refine and is dropped before its
+    // shingles are exploded into the intersection join. No false negatives:
+    // real x <= y implies fl(x) <= fl(y) for correctly-rounded division, so
+    // every pair the final double-compare admits passes this one. Each
+    // dropped pair saves ~|shingles(id1)| exploded join rows; measured on
+    // the d11-shaped corpus (1k docs, 167k banding pairs, threshold 0.7)
+    // the cut is 19% of pairs / 17% of exploded rows (SzProbe) — banding
+    // already correlates sizes, so the win is a constant factor here, but
+    // on corpora with length-skewed hot buckets (boilerplate headers in
+    // crawls) the dropped fraction is the dominant one.
+    val szOk = pairs.select(col("id1"), col("id2"))
+      .join(sizes.toDF("id1", "sz1"), Seq("id1"))
+      .join(sizes.toDF("id2", "sz2"), Seq("id2"))
+      .filter(least(col("sz1"), col("sz2")).cast("double") /
+        greatest(col("sz1"), col("sz2")) >= threshold)
+      .select(col("id1"), col("id2"))
+    szOk
       .join(sh.toDF("id1", "shingle"), Seq("id1"))
       .join(sh.toDF("id2", "shingle"), Seq("id2", "shingle"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))

@@ -76,11 +76,15 @@ object Incremental {
   def stateNames(stateDir: String, prefix: String = StatePrefix): Seq[String] = {
     val root = Paths.get(stateDir)
     if (!Files.isDirectory(root)) return Seq.empty
-    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(
-        Files.list(root).iterator()).asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith(prefix) && TableIO.isComplete(stateDir, n))
-      .toSeq
+    // close the directory stream deterministically: stateNames runs on
+    // every ingest of a long-running loop, and an unclosed Files.list
+    // leaks a directory fd per call until GC
+    val names = scala.util.Using.resource(Files.list(root)) { s =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith(prefix) && TableIO.isComplete(stateDir, n))
+        .toSeq
+    }
     names.sorted
   }
 
@@ -192,6 +196,15 @@ object Incremental {
    *    doc_id semi-join against the bucketed table): the state's text is
    *    never rescanned wholesale, which is the difference between probing
    *    an index and re-reading 100 TB of history per batch.
+   *
+   * CONTRACT: doc ids must be unique ACROSS batches, not just within one —
+   * the refine input unions accepted-state partner rows with the new batch
+   * keyed by doc_id alone, so a cross-batch id collision would merge two
+   * different texts' shingles under one id and corrupt the computed
+   * Jaccard sizes/intersections (the same global-uniqueness assumption
+   * [[ingestPack]] enforces via its monotonic-id require; here the id
+   * space is the caller's to govern — crawl pipelines key by content hash
+   * or snapshot-prefixed ids).
    *
    * The signature index is ~4 small rows per accepted doc; `maxBucket`
    * carries the usual banding discriminativeness cap. Crash between the
@@ -341,14 +354,19 @@ object Incremental {
    * Contract: ids must be globally monotonic across batches (batch min id
    * > all prior ids — natural for time-ordered crawl snapshots, REQUIRED
    * because the one-shot layout orders by id); enforced with one bounded
-   * aggregate per prior stage. Each batch stages as `pack_<seq>_<batch>`
+   * aggregate over the BATCH only. Each batch stages as `pack_<seq>_<batch>`
    * PARTITIONED BY shard — a dataloader reading shard k directory-prunes
    * every stage (the delta-read pattern shared with [[graft.ml.AnnStore]]).
-   * The stream total is re-derived as Σ per-stage sum(toks) (one
-   * column-pruned batch-sized aggregate each — production would record it
-   * in the stage manifest; the rescan keeps this self-contained).
-   * Idempotent by batch name. Returns the batch's packed rows
-   * (id, toks, off, shard).
+   * The stream total and max id come from a per-stage stats sidecar
+   * (`_pack_stats.json`, written with the stage): reading them back is
+   * driver-side file IO, so ingest cost no longer grows with the stage
+   * count (guide §1.2: don't recompute what the write already knew — the
+   * previous Σ per-stage sum(toks) re-scan was one Spark aggregate per
+   * prior stage per ingest). A stage whose sidecar is missing (pre-upgrade
+   * state, or a crash between the two writes) falls back to the aggregate
+   * once; [[compact]]-style retirement is unaffected because retired stages
+   * drop out of `stateNames`. Idempotent by batch name. Returns the
+   * batch's packed rows (id, toks, off, shard).
    */
   def ingestPack(spark: SparkSession, stateDir: String, batchName: String,
                  batch: DataFrame, idCol: String, toksCol: String,
@@ -367,14 +385,20 @@ object Incremental {
     }
     Files.createDirectories(Paths.get(stateDir))
     val (base, maxPrior) = prior.foldLeft((0L, Long.MinValue)) { case ((b, m), st) =>
-      val r = spark.read.parquet(s"$stateDir/$st")
-        .agg(sum(col("toks")), max(col(idCol))).head()
-      (b + r.getLong(0), math.max(m, r.getLong(1)))
+      val (s, x) = readPackStats(spark, stateDir, st, idCol)
+      (b + s, math.max(m, x))
     }
+    // one bounded aggregate over the batch: min id for the monotonic-id
+    // contract, sum/max recorded in the stage's stats sidecar so LATER
+    // ingests never re-scan this stage. The empty-batch require runs
+    // regardless of stream state — an empty FIRST batch would otherwise
+    // stage an empty table and make the next ingest fail obscurely.
+    val statRow = batch.agg(min(col(idCol)), max(col(idCol)),
+      sum(col(toksCol).cast("long"))).head()
+    require(!statRow.isNullAt(0), s"batch $batchName is empty — nothing to append")
+    val (minId, maxId, sumToks) =
+      (statRow.getLong(0), statRow.getLong(1), statRow.getLong(2))
     if (prior.nonEmpty) {
-      val minIdRow = batch.agg(min(col(idCol))).head()
-      require(!minIdRow.isNullAt(0), s"batch $batchName is empty — nothing to append")
-      val minId = minIdRow.getLong(0)
       require(minId > maxPrior,
         s"ids must be monotonic across batches: batch min $minId <= prior max " +
           s"$maxPrior — the packed layout orders by id, so out-of-order ids " +
@@ -386,8 +410,41 @@ object Incremental {
         idCol, "toks", budget)
       .withColumn("off", col("off") + lit(base))
       .withColumn("shard", expr(s"off div ${budget}L"))
-    TableIO.stage(spark, stateDir, name, partitionBy = Seq("shard")) { packed }
-      .select(col(idCol), col("toks"), col("off"), col("shard").cast("long").as("shard"))
+    TableIO.stageWrite(spark, stateDir, name, partitionBy = Seq("shard")) { packed }
+    Files.write(Paths.get(stateDir, name, PackStatsFile),
+      s"""{"sum_toks": $sumToks, "max_id": $maxId}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // return the rows just computed (tokenBudgetShards materializes its
+    // range layout, so this re-reads a local checkpoint, not the pipeline):
+    // the staged read-back re-opened every shard file of the stage just
+    // written — partition discovery over ~stage-shard-count directories per
+    // ingest, measured 1.2 s of a 4 s ingest at sf0.1 (IncrProbe) — purely
+    // to re-read rows already in hand. The resume path (stage complete on
+    // entry) still reads from disk above; rows are identical by the stage
+    // write's own contract.
+    packed.select(col(idCol), col("toks"), col("off"), col("shard"))
+  }
+
+  /** Stats sidecar name for [[ingestPack]] stages. */
+  val PackStatsFile = "_pack_stats.json"
+
+  /** (sum of toks, max id) of a completed pack stage: from the sidecar when
+   *  present (driver-side file read), else the one-off aggregate fallback. */
+  private def readPackStats(spark: SparkSession, stateDir: String,
+                            stage: String, idCol: String): (Long, Long) = {
+    val p = Paths.get(stateDir, stage, PackStatsFile)
+    if (Files.exists(p)) {
+      val s = Files.readString(p)
+      def field(n: String): Option[Long] =
+        (s""""$n": (-?\\d+)""").r.findFirstMatchIn(s).map(_.group(1).toLong)
+      (field("sum_toks"), field("max_id")) match {
+        case (Some(a), Some(b)) => return (a, b)
+        case _ => () // corrupt sidecar: fall through to the aggregate
+      }
+    }
+    val r = spark.read.parquet(s"$stateDir/$stage")
+      .agg(sum(col("toks")), max(col(idCol))).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /**
