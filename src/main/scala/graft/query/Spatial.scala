@@ -145,10 +145,44 @@ object Spatial {
    *    even that bound). Queries with zero candidates this round never
    *    reach the converged set and stay pending by the anti-join.
    */
+  /** Conf key: how many levels FINER than the table's cell level the kNN
+   *  join starts probing at (default [[ProbeDeltaDefault]]; 0 restores the
+   *  stored-level start). See the probe-level note in [[knnJoin]]. */
+  val ProbeDeltaKey = "spark.graft.knn.probeDelta"
+  val ProbeDeltaDefault = 1
+
   def knnJoin(points: DataFrame, queries: DataFrame, k: Int,
               level: Int = Cells.DefaultLevel, initialR: Int = 1,
               maxRounds: Int = 16): DataFrame = {
     val spark = points.sparkSession
+    // Probe-level choice (guide §1.2 step 1: candidate volume is the
+    // distributed-algorithm cost here): a round's work is one point-table
+    // pass (cell encode + broadcast probe) PLUS one haversine + top-k
+    // update per candidate, and candidates per query = rows-per-cell x
+    // disk size. On a dense region the stored level is far too coarse —
+    // measured on the 768M-row bench input: ~50k rows/cell at level 13,
+    // so 1,024 queries x 9-cell disks = 456M candidate haversines, 2x the
+    // whole scan cost — while the ring bound only needs the disk to be
+    // wider than the kth-NN distance. Starting ONE level finer quarters
+    // rows-per-cell while halving the round-0 convergence bound, and the
+    // existing coarsening rule walks the expansion back through the coarser
+    // levels anyway, so data too sparse for the finer disk pays extra
+    // ROUNDS (each a scan+probe pass) rather than wrong results — the
+    // bound is computed for the (lvl, rad) actually probed, so the top-k
+    // is exact at any probe level. Default 1 is the measured sweet spot on
+    // the bench input (knn phase 11.8 -> 6.6 s at 4N: one round either
+    // way, 4x fewer candidates); deeper deltas shrank the bound below the
+    // data's kth-NN distance and bought extra full scans (delta 3: three
+    // rounds, 14 s). Parameterised via [[ProbeDeltaKey]]: raise it for
+    // tables orders of magnitude denser per base cell, set 0 to restore
+    // the stored-level start for sparse corpora.
+    val probeDelta = spark.conf.getOption(ProbeDeltaKey).map(_.toInt)
+      .getOrElse(ProbeDeltaDefault)
+    val probeLevel = math.min(level + math.max(0, probeDelta), Cells.MaxLevel)
+    // the fine start needs (probeLevel - level) more doublings to reach the
+    // full-grid cover; keep the loud non-convergence contract at the same
+    // effective budget past that point
+    val roundBudget = maxRounds + (probeLevel - level)
     // materialize the query side once — it may derive from a full scan of
     // the point table, and each round references it
     var pending = queries.select(col("qid"), col("qlat"), col("qlon"))
@@ -158,8 +192,8 @@ object Spatial {
     var r = initialR
     var round = 0
     val debug = spark.conf.getOption("spark.graft.knn.debug").contains("true")
-    while (round < maxRounds && pendingCount > 0) {
-      val (lvl, rad) = effectiveDisk(level, r)
+    while (round < roundBudget && pendingCount > 0) {
+      val (lvl, rad) = effectiveDisk(probeLevel, r)
       // disk(lvl, 2) at lvl <= 1 is the whole grid: every point is a
       // candidate, the round is exact by construction
       val fullCover = lvl <= 1 && rad >= 2
@@ -217,7 +251,8 @@ object Spatial {
     if (pendingCount > 0)
       throw new IllegalStateException(
         s"knnJoin did not converge: $pendingCount queries still pending " +
-          s"after $maxRounds rounds (level=$level, initialR=$initialR); " +
+          s"after $roundBudget rounds (level=$level, probeLevel=$probeLevel, " +
+          s"initialR=$initialR); " +
           "raise maxRounds or lower the starting level")
     // empty query set / nothing converged: keep the (qid, id, dist_km, rn)
     // output schema so callers' selections still resolve

@@ -24,6 +24,7 @@ object NorthDiag {
       .config("spark.sql.files.maxPartitionBytes", mpb.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.graft.knn.debug", "true")
+      .config("spark.graft.knn.probeDelta", sys.env.getOrElse("KNN_DELTA", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
