@@ -118,8 +118,13 @@ object Curation {
     // scale, where inputs already carry >= defaultParallelism splits.
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val base = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    // materializeInput = false: filterStage's output is a cheap integer
+    // filter OVER its own eager checkpoint, so dedupStage's extra
+    // localCheckpoint only re-materialized already-materialized rows (one
+    // more full-width job per run); the downstream re-evaluations scan the
+    // in-memory checkpoint
     sampleStage(dedupStage(filterStage(
-      redactStage(base).localCheckpoint(eager = true))))
+      redactStage(base).localCheckpoint(eager = true)), materializeInput = false))
   }
 
   /** Buckets for the staged tables — every stage boundary is keyed by

@@ -336,12 +336,45 @@ object Spatial {
       .withColumn("jcell", explode(cellDisk(cellEncode(col("llat"), col("llon"), lit(lvl)), lit(r))))
     val rhs = right.select(col("id").as("rid"), col("lat").as("rlat"), col("lon").as("rlon"),
       cellEncode(col("lat"), col("lon"), lit(lvl)).as("jcell"))
+    // Cheap exact bbox prefilter before the haversine (guide §1.2 step 2):
+    // the rad<=2 coarsening rule makes the disk wildly over-cover tight
+    // radii — at sf0.1 the level-10 disk spans 195 x 97 km for a 30 km
+    // radius, and 28.3M joined candidate rows paid a haversine for 4.7M
+    // survivors (J2Probe2). Two compares against constant thresholds drop
+    // the rest first. Exactly conservative: haversine >= R·|Δφ| (lat) and
+    // >= 2R·asin(cos(band)·sin(|Δλ|/2)) (lon, every kept pair's lats lie
+    // within the band by the lat bound), so thresholds derived by
+    // inverting those bounds — with 1e-9 relative slack against float
+    // rounding — can only keep extra rows, never drop a within-radius
+    // pair; the exact dist filter below is unchanged. (Raw lon differences
+    // assume a non-antimeridian-wrapping table, the same assumption every
+    // bbox/cover helper here makes.)
+    val latThreshDeg = maxKm / Cells.KmPerDegLat * (1.0 + 1e-9)
+    val cosBand = math.cos(graft.core.GeoMath.degToRad(bandLat))
+    val lonThreshDeg =
+      if (cosBand <= 0) 360.0
+      else 2.0 * math.toDegrees(math.asin(math.min(1.0,
+        maxKm / (2.0 * graft.core.GeoMath.EarthRadiusKm * cosBand)))) * (1.0 + 1e-9)
+    // nearest pick via the bounded TopK aggregate (k=1) rather than
+    // min_by(struct, struct): min_by's generic struct buffer forces a
+    // SortAggregate — BOTH phases sort every joined candidate row — while
+    // the typed aggregate hash-aggregates with map-side partial combine,
+    // so each task ships one row per left point instead of its whole
+    // candidate set. Ordering (dist, rid) is identical to the min_by
+    // ordering struct, and exact ties are impossible (rid is unique), so
+    // the output is row-identical. Measured together with the prefilter:
+    // materialized join 8.7 -> 6.9 s, bench-shaped count 2.4 -> 1.4 s at
+    // sf0.1 (J2Probe).
     lhs.join(rhs, Seq("jcell"))
+      .filter(abs(col("llat") - col("rlat")) <= latThreshDeg &&
+        abs(col("llon") - col("rlon")) <= lonThreshDeg)
       .withColumn("dist_km", haversineKm(col("llat"), col("llon"), col("rlat"), col("rlon")))
       .filter(col("dist_km") <= maxKm)
       .groupBy(col("lid"), col("llat"), col("llon"))
-      .agg(min_by(struct(col("rid"), col("dist_km")), struct(col("dist_km"), col("rid"))).as("nn"))
-      .select(col("lid"), col("nn.rid").as("rid"), col("nn.dist_km").as("dist_km"))
+      .agg(graft.functions.TopK.topKByDist(1)(col("dist_km"), col("rid")).as("nn"))
+      .select(col("lid"),
+        element_at(col("nn"), 1).getField("_2").as("rid"),
+        element_at(col("nn"), 1).getField("_1").as("dist_km"))
   }
 
   /**
@@ -435,12 +468,16 @@ object Spatial {
     val refLons =
       if (endpointsOnly) array(element_at(col("wlons"), 1), element_at(col("wlons"), -1))
       else col("wlons")
+    // same TopK-for-min_by swap as [[nearestJoin]]: hash aggregation with
+    // map-side combine instead of a two-phase SortAggregate over every
+    // candidate (way, query) row
     rhs.join(broadcast(lhs), Seq("jcell"))
       .withColumn("dist_km", pointToPolylineKm(col("qlat"), col("qlon"), refLats, refLons))
       .filter(col("dist_km") <= maxKm)
       .groupBy(col("qid"))
-      .agg(min_by(struct(col("way_id"), col("dist_km")),
-        struct(col("dist_km"), col("way_id"))).as("nn"))
-      .select(col("qid"), col("nn.way_id").as("way_id"), col("nn.dist_km").as("dist_km"))
+      .agg(graft.functions.TopK.topKByDist(1)(col("dist_km"), col("way_id")).as("nn"))
+      .select(col("qid"),
+        element_at(col("nn"), 1).getField("_2").as("way_id"),
+        element_at(col("nn"), 1).getField("_1").as("dist_km"))
   }
 }
