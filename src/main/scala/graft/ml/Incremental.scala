@@ -211,7 +211,11 @@ object Incremental {
    * two stage writes resumes cleanly: the batch is keyed by name, both
    * stages are individually idempotent, and an orphan half is completed on
    * re-ingest (the stage suffix is reconstructed from the existing half).
-   * Returns the accepted (doc_id, text) table.
+   * That recovery is ENFORCED, not just documented: ingesting a DIFFERENT
+   * batch while another batch's half-completed state exists fails loudly
+   * (an orphan ndoc_ without its nsig_ would silently exempt its docs from
+   * every later batch's near-dup check). Returns the accepted
+   * (doc_id, text) table.
    */
   def ingestMinhash(spark: SparkSession, stateDir: String, batchName: String,
                     batch: DataFrame, idCol: String, textCol: String,
@@ -236,6 +240,23 @@ object Incremental {
     Files.createDirectories(Paths.get(stateDir))
     val priorSigs = nsigPrior.filterNot(_ == nsigName)
     val priorDocs = ndocPrior.filterNot(_ == ndocName)
+    // Orphan-state guard: an ingest that crashed between its two stage
+    // writes leaves one completed half; the recovery contract is that the
+    // SAME batch is re-ingested (the suffix reconstruction above completes
+    // it). If the pipeline instead moved on to a DIFFERENT batch, the
+    // orphan's accepted docs would sit in ndoc_ with no signature index —
+    // every later batch would silently skip near-dup checks against them.
+    // Enforce the contract loudly instead of documenting it.
+    val orphanSuffixes =
+      (priorDocs.map(_.stripPrefix(NdocPrefix)).toSet union
+        priorSigs.map(_.stripPrefix(NsigPrefix)).toSet) diff
+      (priorDocs.map(_.stripPrefix(NdocPrefix)).toSet intersect
+        priorSigs.map(_.stripPrefix(NsigPrefix)).toSet)
+    require(orphanSuffixes.isEmpty,
+      s"half-completed near-dup state under $stateDir: batch(es) " +
+        s"${orphanSuffixes.toSeq.sorted.mkString(", ")} have only one of their " +
+        "nsig_/ndoc_ stages — re-ingest those batches (same name, same rows) " +
+        "to complete them before ingesting a new batch")
 
     // phase timers (stdout, gated): SPARK_GRAFT_INGEST_DIAG=1
     val diag = sys.env.get("SPARK_GRAFT_INGEST_DIAG").contains("1")
@@ -249,12 +270,8 @@ object Incremental {
       .localCheckpoint(true)
     val sigs = Dedup.minhashSignatures(b, "doc_id", "text").localCheckpoint(true)
     phase("sigs")
-    // in-batch: reject the larger id of every refined candidate pair
+    // in-batch candidate pairs: reject the larger id of every refined pair
     val inPairs = Dedup.minhashCandidates(sigs, maxBucket)
-    val inRejects = Dedup.jaccardRefine(b, "doc_id", "text", shingleN, threshold, inPairs)
-      .select(col("id2").as("doc_id")).distinct()
-    val inOk = b.join(inRejects, Seq("doc_id"), "left_anti").localCheckpoint(true)
-    phase("inbatch")
     var cands: DataFrame = null
     var refineIn: DataFrame = null
 
@@ -262,10 +279,29 @@ object Incremental {
     val prev = spark.conf.get(kReq)
     spark.conf.set(kReq, "false")
     try {
-      val accepted = if (priorSigs.isEmpty) inOk else {
-        // probe the banded state index: survivors' band keys vs each stage
-        val rawProbe = Dedup.minhashBands(
-          sigs.join(inOk.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      // ONE refine per ingest (optimization round): the in-batch and
+      // cross-batch verifications used to run as two jaccardRefine chains
+      // separated by an inOk barrier (probe with survivors only). The
+      // accepted set is IDENTICAL when both pair lists refine together
+      // against (batch ∪ partners) and rejects = all refined id2:
+      //  - in-batch rejection never depended on the partner's own fate
+      //    (aggressive first-wins), so those pairs are unchanged;
+      //  - a cross pair whose id2 was also in-batch-rejected is a no-op
+      //    (the doc is rejected either way) — which is exactly why probing
+      //    with ALL batch signatures instead of survivors cannot change
+      //    the result, only add candidate volume bounded by the in-batch
+      //    duplicate fraction. The oracle unrolls acceptance from the one
+      //    global banding+refine pair list, so this shape matches it more
+      //    directly. Saves a full refine chain (≈6 shuffle stages) and the
+      //    survivor checkpoint per ingest; measured d11 ~10 -> ~8 s sf0.1.
+      val accepted = if (priorSigs.isEmpty) {
+        val rejects = Dedup.jaccardRefine(b, "doc_id", "text", shingleN,
+            threshold, inPairs)
+          .select(col("id2").as("doc_id")).distinct()
+        b.join(rejects, Seq("doc_id"), "left_anti")
+      } else {
+        // probe the banded state index: the batch's band keys vs each stage
+        val rawProbe = Dedup.minhashBands(sigs)
         // the cross probe needs the SAME discriminativeness cap as
         // minhashCandidates: char-trigram banding is weak on short text
         // (universal trigrams make a few band keys corpus-wide hot), and an
@@ -274,7 +310,10 @@ object Incremental {
         // ONE 20k-doc stage (ScaleIncrNear), growing linearly with state.
         // Dropping the probe side of a hot key suffices (the state side
         // then never matches); true near-dups survive via their other,
-        // discriminative bands — the minhashCandidates rationale.
+        // discriminative bands — the minhashCandidates rationale. (pn now
+        // counts the whole batch's probe rows rather than survivors-only —
+        // the cap is a discriminativeness heuristic and the count basis is
+        // documented, not load-bearing.)
         val probe = maxBucket match {
           case None => rawProbe
           case Some(cap) =>
@@ -308,16 +347,21 @@ object Incremental {
             .select(col("doc_id"), col("text"))
         }.reduce(_ unionByName _)
         // MATERIALIZE the refine input: jaccardRefine references its
-        // shingle table in four plan positions, so an un-checkpointed
-        // (batch ∪ k-stage-union) subtree is embedded 4x and the plan
+        // shingle table in six plan positions, so an un-checkpointed
+        // (batch ∪ k-stage-union) subtree is embedded 6x and the plan
         // grows with the stage count — measured 74 s -> 135 s per added
         // stage at 20k docs/batch before this leaf, flat after
-        refineIn = inOk.unionByName(partners).localCheckpoint(true)
+        refineIn = b.unionByName(partners).localCheckpoint(true)
         if (diag) println(s"INGESTDIAG $batchName refine_in_rows=${refineIn.count()}")
-        val crossRejects = Dedup.jaccardRefine(
-            refineIn, "doc_id", "text", shingleN, threshold, cands)
+        // in-batch and cross pairs are disjoint (cross id1 is an accepted
+        // EARLIER-batch doc; the cross-batch id-uniqueness contract above)
+        // and individually distinct, so the union stays distinct — the
+        // jaccardRefine requirement
+        val rejects = Dedup.jaccardRefine(refineIn, "doc_id", "text",
+            shingleN, threshold,
+            inPairs.unionByName(cands.select(col("id1"), col("id2"))))
           .select(col("id2").as("doc_id")).distinct()
-        inOk.join(crossRejects, Seq("doc_id"), "left_anti")
+        b.join(rejects, Seq("doc_id"), "left_anti")
       }
       val ndoc = TableIO.bucketedStage(spark, stateDir, ndocName, "doc_id",
         DefaultBuckets) { accepted.select(col("doc_id"), col("text")) }
@@ -334,7 +378,7 @@ object Incremental {
       // release this ingest's checkpoint blocks: both outputs are staged on
       // disk, so the intermediates would only pile up across a long-running
       // ingest loop
-      releaseCheckpoint(b, sigs, inOk, cands, refineIn)
+      releaseCheckpoint(b, sigs, cands, refineIn)
     }
   }
 

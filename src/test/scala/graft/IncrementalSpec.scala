@@ -284,4 +284,38 @@ class IncrementalSpec extends AnyFunSuite {
     assert(out == Set(51L))
     assert(Incremental.stateNames(dir).size == 2)
   }
+
+  test("near-dup ingest enforces orphan recovery: new batch over a half-completed one fails") {
+    val dir = freshDir("orphan")
+    assert(ingestNear(dir, 0, Seq((10L, tA), (11L, tX))) == Set(10L, 11L))
+    // simulate a crash between the two stage writes: drop n0's nsig half
+    val nsig = Incremental.stateNames(dir, Incremental.NsigPrefix)
+    assert(nsig.size == 1)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$dir/${nsig.head}"))
+    // ingesting a DIFFERENT batch must fail loudly (the orphan's ndoc docs
+    // would silently skip near-dup checks forever)...
+    val ex = intercept[IllegalArgumentException] {
+      ingestNear(dir, 1, Seq((20L, tY)))
+    }
+    assert(ex.getMessage.contains("half-completed"), ex.getMessage)
+    // ...while re-ingesting the SAME batch completes the orphan half and
+    // the stream continues
+    assert(ingestNear(dir, 0, Seq((10L, tA), (11L, tX))) == Set(10L, 11L))
+    assert(Incremental.stateNames(dir, Incremental.NsigPrefix).size == 1)
+    assert(ingestNear(dir, 1, Seq((20L, tA), (21L, tY))) == Set(21L))
+  }
+
+  test("pack stats sidecar: missing sidecar falls back to the aggregate, same offsets") {
+    val dir = freshDir("packstats")
+    val b0 = Seq((1L, 5L), (2L, 7L)).toDF("doc_id", "toks")
+    graft.ml.Incremental.ingestPack(spark, dir, "p0", b0, "doc_id", "toks", 10L)
+    // drop the sidecar (pre-upgrade stage / crash between the two writes)
+    val st = Incremental.stateNames(dir, Incremental.PackPrefix).head
+    assert(new java.io.File(s"$dir/$st/${Incremental.PackStatsFile}").delete())
+    val p1 = graft.ml.Incremental.ingestPack(spark, dir, "p1",
+        Seq((10L, 4L)).toDF("doc_id", "toks"), "doc_id", "toks", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(p1 == Set((10L, 12L, 1L))) // base 12 re-derived by the aggregate
+  }
 }
