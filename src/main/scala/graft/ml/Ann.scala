@@ -422,8 +422,13 @@ object Ann {
    *  semantics (the x15 oracle path). */
   def cosineMatch(leftBucketed: DataFrame, rightBucketed: DataFrame,
                   threshold: Double, maxBucket: Option[Int] = None): DataFrame = {
-    val a0 = leftBucketed.select(col("vec_id").as("id1"), col("vec").as("v1"), col("bucket"))
-    val b0 = rightBucketed.select(col("vec_id").as("id2"), col("vec").as("v2"), col("bucket"))
+    // norms are computed per VECTOR ROW before the pair join, not per pair:
+    // a vector in p pairs paid p sqrt+sum-of-squares passes (cos itself is
+    // the identical n1*n2 double product, so values are bit-unchanged)
+    val a0 = leftBucketed.select(col("vec_id").as("id1"), col("vec").as("v1"),
+      norm(col("vec")).as("n1"), col("bucket"))
+    val b0 = rightBucketed.select(col("vec_id").as("id2"), col("vec").as("v2"),
+      norm(col("vec")).as("n2"), col("bucket"))
     val (a, b) = maxBucket match {
       case None => (a0, b0)
       case Some(cap) =>
@@ -434,7 +439,7 @@ object Ann {
     a.join(b, Seq("bucket"))
       .withColumn("dot", aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x))
-      .withColumn("cos", col("dot") / (norm(col("v1")) * norm(col("v2"))))
+      .withColumn("cos", col("dot") / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos") * 1000000).cast("long").as("cos6"))
       .distinct()
@@ -456,12 +461,16 @@ object Ann {
           bucketed.select(col("vec_id"), col("bucket")), cap)),
           Seq("bucket"), "left_anti")
     }
-    val a = base.select(col("vec_id").as("id1"), col("vec").as("v1"), col("bucket"))
-    val b = base.select(col("vec_id").as("id2"), col("vec").as("v2"), col("bucket"))
+    // per-row norms before the pair join — the cosineMatch rationale;
+    // cos = dot / (n1 * n2) is the identical double expression
+    val a = base.select(col("vec_id").as("id1"), col("vec").as("v1"),
+      norm(col("vec")).as("n1"), col("bucket"))
+    val b = base.select(col("vec_id").as("id2"), col("vec").as("v2"),
+      norm(col("vec")).as("n2"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
       .withColumn("dot", aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x))
-      .withColumn("cos", col("dot") / (norm(col("v1")) * norm(col("v2"))))
+      .withColumn("cos", col("dot") / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos") * 1000000).cast("long").as("cos6"))
       .distinct()

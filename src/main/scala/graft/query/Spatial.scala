@@ -220,16 +220,20 @@ object Spatial {
         .localCheckpoint(eager = true)
       // convergence: kth distance within the provable bound for this
       // (lvl, rad) — per-row, in-plan, codegen'd
+      // okQ is NOT checkpointed: it is a small aggregate over the topk
+      // checkpoint (<= pending-count rows) referenced twice — embedding it
+      // in both consumers is cheaper than a dedicated materialization job,
+      // which at low parallelism was a measurable slice of the per-round
+      // fixed cost that depresses the N-leg/4N-leg scaling ratio
       val okQ =
-        (if (fullCover) topk.select(col("qid")).distinct()
-         else topk.groupBy(col("qid"))
-           .agg(max(col("dist_km")).as("kth"), count(lit(1)).as("cnt"),
-             first(col("qlat")).as("qlat"), first(col("qlon")).as("qlon"))
-           .filter(col("cnt") >= k && col("kth") <=
-             graft.functions.GeoFunctions.minDistOutsideDisk(
-               col("qlat"), col("qlon"), lvl, rad))
-           .select(col("qid")))
-          .localCheckpoint(eager = true)
+        if (fullCover) topk.select(col("qid")).distinct()
+        else topk.groupBy(col("qid"))
+          .agg(max(col("dist_km")).as("kth"), count(lit(1)).as("cnt"),
+            first(col("qlat")).as("qlat"), first(col("qlon")).as("qlon"))
+          .filter(col("cnt") >= k && col("kth") <=
+            graft.functions.GeoFunctions.minDistOutsideDisk(
+              col("qlat"), col("qlon"), lvl, rad))
+          .select(col("qid"))
       val done = topk.join(okQ, Seq("qid"), "left_semi")
         .select(col("qid"), col("id"), col("dist_km"), col("rn"))
       // topk is already checkpointed, so the accumulated union stays flat
@@ -237,9 +241,14 @@ object Spatial {
       if (fullCover) {
         pendingCount = 0 // queries with zero rows have no data at all
       } else {
-        pending = pending.join(okQ, Seq("qid"), "left_anti")
-          .localCheckpoint(eager = true)
-        pendingCount = pending.count()
+        // count first over the un-materialized anti-join (query-set-sized,
+        // reads the topk checkpoint), and only pay a checkpoint job when
+        // another round will actually consume `pending` — the common
+        // converged-in-this-round case skips it entirely
+        val nextPending = pending.join(okQ, Seq("qid"), "left_anti")
+        pendingCount = nextPending.count()
+        if (pendingCount > 0)
+          pending = nextPending.localCheckpoint(eager = true)
       }
       r *= 2
       round += 1
