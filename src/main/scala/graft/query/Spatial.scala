@@ -187,7 +187,13 @@ object Spatial {
     // the point table, and each round references it
     var pending = queries.select(col("qid"), col("qlat"), col("qlon"))
       .localCheckpoint(eager = true)
-    var pendingCount = pending.count()
+    // no up-front count: it only guarded loop entry, costing one driver-
+    // synced job per call at every parallelism level. Round 0 runs
+    // optimistically; an empty query set yields an empty broadcast side,
+    // which AQE collapses to an empty join without scanning the points, and
+    // the round's own pending count then exits the loop. (The debug line
+    // reports -1 for the unknown initial count.)
+    var pendingCount = Long.MaxValue
     var acc: Option[DataFrame] = None
     var r = initialR
     var round = 0
@@ -197,7 +203,8 @@ object Spatial {
       // disk(lvl, 2) at lvl <= 1 is the whole grid: every point is a
       // candidate, the round is exact by construction
       val fullCover = lvl <= 1 && rad >= 2
-      if (debug) println(s"knnJoin round=$round r=$r lvl=$lvl rad=$rad pending=$pendingCount")
+      if (debug) println(s"knnJoin round=$round r=$r lvl=$lvl rad=$rad pending=" +
+        (if (pendingCount == Long.MaxValue) -1 else pendingCount))
       val qCells = pending
         .withColumn("qcell", cellEncode(col("qlat"), col("qlon"), lit(lvl)))
         .withColumn("jcell", explode(cellDisk(col("qcell"), lit(rad))))
